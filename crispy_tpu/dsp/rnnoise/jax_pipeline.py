@@ -1,0 +1,636 @@
+"""Batched TPU RNNoise pipeline (JAX/XLA).
+
+A from-scratch re-architecture of the per-sample streaming chain the
+reference runs inside its audio callback (src-tauri/src/audio.rs:202-315)
+into a frame-parallel, stream-batched TPU program:
+
+  * Everything that is per-frame independent — windowed rfft analysis, Bark
+    band energies (a [481→22] MXU matmul), the celt pitch correlation
+    searches (FFT cross-correlations + vectorized top-2), the pitch-delayed
+    spectrum, the pitch filter, synthesis irfft and overlap-add — runs as one
+    big [streams, frames, ...] batch.
+  * The four genuinely sequential recurrences are isolated into tiny
+    `lax.scan`s over frames: (1) the HP-biquad cross-frame carry (modal
+    single-pole form — the local 480-tap response is a lower-triangular
+    Toeplitz matmul on the MXU), (2) remove_doubling's previous-pitch
+    continuation, (3) the intra-frame log-energy follower (22 steps), and
+    (4) the GRU network + lastg gain smoothing.
+  * The GRU scan is the only per-frame compute with real weight reuse; it
+    batches across streams so its matmuls hit the MXU, and has a fused
+    Pallas implementation in pallas_rnn.py.
+
+Layout: `denoise_block(params, state, block[S, F*480])` is a single jitted
+step with a carried state pytree, so hour-long audio streams as fixed-shape
+blocks with zero host round-trips in between; `denoise_batch` drives it.
+
+Numerical contract: matches the NumPy oracle (oracle.py) to ≲1e-4 per sample
+on [-1, 1]-scaled audio — see tests/test_rnnoise_jax.py. The HP biquad uses
+an exact modal decomposition (more accurate than the reference's sequential
+f32; see oracle.biquad docstring).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import constants as C
+from .weights import RNNoiseModel, builtin_model
+
+_HIGH = lax.Precision.HIGHEST
+
+FRAME = C.FRAME_SIZE  # 480
+WIN = C.WINDOW_SIZE  # 960
+NFREQ = C.FREQ_SIZE  # 481
+PBUF = C.PITCH_BUF_SIZE  # 1728
+PMAX = C.PITCH_MAX_PERIOD  # 768
+PMIN = C.PITCH_MIN_PERIOD  # 60
+PFRAME = C.PITCH_FRAME_SIZE  # 960
+HIST = PBUF - FRAME  # 1248 raw carry samples (+1 for the decimator edge)
+NB = C.NB_BANDS
+
+_COARSE_LAGS = (PMAX - 3 * PMIN) >> 2  # 147
+_FINE_LAGS = (PMAX - 3 * PMIN) >> 1  # 294
+_RD_MAXP = PMAX // 2  # 384: remove_doubling half-rate max period
+_RD_N = PFRAME // 2  # 480
+_RD_MINP = PMIN // 2  # 30
+
+
+# ---------------------------------------------------------------------------
+# Parameter/table preparation (host-side, float64 → device float32)
+# ---------------------------------------------------------------------------
+
+def _biquad_tables() -> Dict[str, np.ndarray]:
+    """Modal decomposition of the HP biquad's IIR part.
+
+    y_n = x'_n - A1 y_{n-1} - A2 y_{n-2}, poles p, conj(p); impulse response
+    h[m] = 2 Re(c p^m) with c = p / (p - conj(p)). The within-frame response
+    is a lower-triangular Toeplitz matmul; cross-frame state is a single
+    complex modal amplitude (bounded basis, so f32 stays accurate — carrying
+    (y[-1], y[-2]) instead would amplify rounding ~150x via the
+    near-degenerate pole pair).
+    """
+    a1, a2 = np.float64(C.BIQUAD_A_HP[0]), np.float64(C.BIQUAD_A_HP[1])
+    # y_n = x'_n + (-a1) y_{n-1} + (-a2) y_{n-2}
+    p = (-a1 + np.sqrt(complex(a1 * a1 - 4 * a2))) / 2.0
+    c = p / (p - np.conj(p))
+    n = np.arange(FRAME, dtype=np.float64)
+    pn = p ** n  # [480]
+    h = 2.0 * np.real(c * pn)  # h[0..479]
+    toe = np.zeros((FRAME, FRAME), dtype=np.float64)
+    i, j = np.indices((FRAME, FRAME))
+    mask = i >= j
+    toe[mask] = h[(i - j)[mask]]
+    # Injection weights: a_inj = sum_j (c * p^(FRAME - j)) x'_j
+    kinj = c * p ** (FRAME - n)
+    return {
+        "biq_toeplitz": toe.T.astype(np.float32),  # used as x' @ T^T
+        "biq_kinj_re": np.real(kinj).astype(np.float32),
+        "biq_kinj_im": np.imag(kinj).astype(np.float32),
+        "biq_pvec_re": np.real(pn).astype(np.float32),
+        "biq_pvec_im": np.imag(pn).astype(np.float32),
+        "biq_p480_re": np.float32(np.real(p ** FRAME)),
+        "biq_p480_im": np.float32(np.imag(p ** FRAME)),
+    }
+
+
+def make_params(model: Optional[RNNoiseModel] = None) -> Dict[str, jnp.ndarray]:
+    model = model or builtin_model()
+    t: Dict[str, np.ndarray] = {}
+    t.update(_biquad_tables())
+    t["half_window"] = C.half_window()
+    t["band_e"] = C.band_energy_matrix().T  # [481, 22] for e @ W
+    t["band_interp"] = C.band_interp_matrix().T  # [22, 481] for g @ W
+    t["dct"] = C.dct_matrix().T  # [22, 22] for x @ D
+    t["tansig_table"] = C.tansig_table()
+    t["second_check"] = C.SECOND_CHECK.astype(np.int32)
+    for lname in ("input_dense", "denoise_output", "vad_output"):
+        layer = getattr(model, lname)
+        t[f"{lname}.w"] = layer.w
+        t[f"{lname}.b"] = layer.b
+    for lname in ("vad_gru", "noise_gru", "denoise_gru"):
+        g = getattr(model, lname)
+        t[f"{lname}.w"] = g.w
+        t[f"{lname}.u"] = g.u
+        t[f"{lname}.b"] = g.b
+    return {k: jnp.asarray(v) for k, v in t.items()}
+
+
+def init_state(n_streams: int) -> Dict[str, jnp.ndarray]:
+    """Zero state for `n_streams` independent streams (= fresh DenoiseState)."""
+    S = n_streams
+    f32 = jnp.float32
+    return {
+        "x_prev": jnp.zeros((S, 2), f32),  # raw scaled input history (x_{-2}, x_{-1})
+        "biq_a_re": jnp.zeros((S,), f32),  # modal IIR amplitude
+        "biq_a_im": jnp.zeros((S,), f32),
+        "hp_tail": jnp.zeros((S, HIST + 1), f32),  # last 1249 HP samples
+        "last_period": jnp.zeros((S,), jnp.int32),
+        "last_gain": jnp.zeros((S,), f32),
+        "ceps_hist": jnp.zeros((S, C.CEPS_MEM, NB), f32),  # oldest → newest
+        "gru_vad": jnp.zeros((S, C.VAD_GRU_SIZE), f32),
+        "gru_noise": jnp.zeros((S, C.NOISE_GRU_SIZE), f32),
+        "gru_denoise": jnp.zeros((S, C.DENOISE_GRU_SIZE), f32),
+        "lastg": jnp.zeros((S, NB), f32),
+        "syn_mem": jnp.zeros((S, FRAME), f32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Small numerical helpers
+# ---------------------------------------------------------------------------
+
+def _tansig(table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """tansig_approx: table-interpolated tanh, matching the oracle exactly."""
+    sign = jnp.where(x < 0, -1.0, 1.0).astype(jnp.float32)
+    ax = jnp.abs(x)
+    i = jnp.clip(jnp.floor(0.5 + 25.0 * jnp.nan_to_num(ax)).astype(jnp.int32), 0, 200)
+    dx = ax - 0.04 * i.astype(jnp.float32)
+    y = jnp.take(table, i)
+    dy = 1.0 - y * y
+    y = y + dx * dy * (1.0 - y * dx)
+    out = sign * y
+    out = jnp.where(x >= 8.0, 1.0, jnp.where(x <= -8.0, -1.0, out))
+    return jnp.where(jnp.isnan(x), 0.0, out).astype(jnp.float32)
+
+
+def _sigmoid(table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 + 0.5 * _tansig(table, 0.5 * x)
+
+
+def _windows(x: jnp.ndarray, stride: int, size: int, num: int) -> jnp.ndarray:
+    """[S, L] → [S, num, size] sliding windows with static indices."""
+    idx = np.arange(num)[:, None] * stride + np.arange(size)[None, :]
+    return x[:, idx]
+
+
+def _xcorr_fft(x: jnp.ndarray, y: jnp.ndarray, nfft: int, nlags: int) -> jnp.ndarray:
+    """corr[..., i] = sum_j x[..., j] * y[..., j+i] via rfft of size nfft."""
+    X = jnp.fft.rfft(x, n=nfft)
+    Y = jnp.fft.rfft(y, n=nfft)
+    full = jnp.fft.irfft(jnp.conj(X) * Y, n=nfft)
+    return full[..., :nlags].astype(jnp.float32)
+
+
+def _sliding_energy(y: jnp.ndarray, win: int, nlags: int) -> jnp.ndarray:
+    """E[..., i] = sum_{j<win} y[..., i+j]^2."""
+    c = jnp.cumsum(y.astype(jnp.float32) ** 2, axis=-1)
+    zero = jnp.zeros_like(c[..., :1])
+    c = jnp.concatenate([zero, c], axis=-1)
+    return c[..., win: win + nlags] - c[..., :nlags]
+
+
+def _top2(ratio: jnp.ndarray, valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """C find_best_pitch selection: top-2 lags of ratio among valid entries,
+    first-index tie-break, with the C defaults (0, 1) / (i, 0) on <2 valid."""
+    neg = jnp.float32(-np.inf)
+    r = jnp.where(valid, ratio, neg)
+    best = jnp.argmax(r, axis=-1)
+    nlags = ratio.shape[-1]
+    onehot = jax.nn.one_hot(best, nlags, dtype=bool)
+    r2 = jnp.where(onehot, neg, r)
+    second = jnp.argmax(r2, axis=-1)
+    nvalid = valid.sum(axis=-1)
+    best = jnp.where(nvalid > 0, best, 0)
+    second = jnp.where(nvalid > 1, second, jnp.where(nvalid == 1, 0, 1))
+    return best.astype(jnp.int32), second.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: HP biquad (Toeplitz local + modal carry scan)
+# ---------------------------------------------------------------------------
+
+def _hp_biquad(params, state, x: jnp.ndarray) -> Tuple[dict, jnp.ndarray]:
+    """x: [S, F, 480] scaled raw frames → HP-filtered frames, same shape."""
+    S, F, _ = x.shape
+    flat = x.reshape(S, F * FRAME)
+    hist = jnp.concatenate([state["x_prev"], flat], axis=-1)
+    xm1 = hist[:, 1:-1].reshape(S, F, FRAME)
+    xm2 = hist[:, :-2].reshape(S, F, FRAME)
+    xp = flat.reshape(S, F, FRAME) + C.BIQUAD_B_HP[0] * xm1 + C.BIQUAD_B_HP[1] * xm2
+
+    y_local = jnp.einsum("sfj,ji->sfi", xp, params["biq_toeplitz"], precision=_HIGH)
+    inj_re = jnp.einsum("sfj,j->sf", xp, params["biq_kinj_re"], precision=_HIGH)
+    inj_im = jnp.einsum("sfj,j->sf", xp, params["biq_kinj_im"], precision=_HIGH)
+
+    p_re, p_im = params["biq_p480_re"], params["biq_p480_im"]
+
+    def step(carry, inj):
+        a_re, a_im = carry
+        i_re, i_im = inj
+        out = (a_re, a_im)
+        new_re = a_re * p_re - a_im * p_im + i_re
+        new_im = a_re * p_im + a_im * p_re + i_im
+        return (new_re, new_im), out
+
+    (a_re_f, a_im_f), (amps_re, amps_im) = lax.scan(
+        step, (state["biq_a_re"], state["biq_a_im"]),
+        (inj_re.T, inj_im.T),
+    )
+    amps_re = amps_re.T[..., None]  # [S, F, 1] amplitude at frame start
+    amps_im = amps_im.T[..., None]
+    y = y_local + 2.0 * (amps_re * params["biq_pvec_re"] - amps_im * params["biq_pvec_im"])
+
+    new_state = dict(state)
+    new_state["x_prev"] = flat[:, -2:]
+    new_state["biq_a_re"] = a_re_f
+    new_state["biq_a_im"] = a_im_f
+    return new_state, y.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: pitch analysis (frame-parallel search + tiny continuation scan)
+# ---------------------------------------------------------------------------
+
+def _pitch_index(params, state, ext: jnp.ndarray, F: int):
+    """ext: [S, 1+HIST+F*480] HP samples (ext[0] is the decimator edge).
+
+    Returns (pitch_index [S, F] int32, new last_period/last_gain).
+    """
+    S = ext.shape[0]
+    # Global 2x decimation with the 3-tap smoother: D[j] over pairs of ext.
+    nD = (ext.shape[1] - 1) // 2
+    e0 = ext[:, 0: 2 * nD: 2]
+    e1 = ext[:, 1: 2 * nD + 1: 2]
+    e2 = ext[:, 2: 2 * nD + 2: 2]
+    D = (0.5 * (0.5 * (e0 + e2) + e1)).astype(jnp.float32)  # [S, nD]
+
+    # Per-frame 864-sample decimated pitch buffers (stride 240).
+    bds = _windows(D, 240, PBUF // 2, F)  # [S, F, 864]
+    # Fix index 0: per-frame left edge uses only its own first two samples
+    # (buffer f starts at ext[1 + f*480]; b_ds[0] = .5*(.5*buf[1] + buf[0])).
+    starts = np.arange(F) * FRAME
+    b0 = 0.5 * (0.5 * ext[:, starts + 2] + ext[:, starts + 1])
+    bds = bds.at[:, :, 0].set(b0)
+
+    # --- pitch_search: coarse at /4 of full rate --------------------------
+    x4 = bds[..., PMAX // 2:: 2][..., : PFRAME >> 2]  # [S, F, 240]
+    y4 = bds[..., ::2][..., : ((PFRAME + (PMAX - 3 * PMIN)) >> 2)]  # [S, F, 387]
+    xc4 = _xcorr_fft(x4, y4, 512, _COARSE_LAGS)  # [S, F, 147]
+    syy4 = jnp.maximum(1.0, 1.0 + _sliding_energy(y4, PFRAME >> 2, _COARSE_LAGS))
+    ratio4 = jnp.where(xc4 > 0, (xc4 * xc4) / syy4, jnp.float32(-np.inf))
+    best4, second4 = _top2(ratio4, xc4 > 0)
+
+    # --- fine stage at /2 of full rate -------------------------------------
+    x2 = bds[..., PMAX // 2:]  # [S, F, 480]
+    xc2_raw = _xcorr_fft(x2, bds, 1024, _FINE_LAGS)  # [S, F, 294]
+    lags2 = jnp.arange(_FINE_LAGS, dtype=jnp.int32)
+    near = (jnp.abs(lags2 - 2 * best4[..., None]) <= 2) | (
+        jnp.abs(lags2 - 2 * second4[..., None]) <= 2
+    )
+    xc2 = jnp.where(near, jnp.maximum(-1.0, xc2_raw), 0.0)
+    syy2 = jnp.maximum(1.0, 1.0 + _sliding_energy(bds, PFRAME >> 1, _FINE_LAGS))
+    ratio2 = jnp.where(xc2 > 0, (xc2 * xc2) / syy2, jnp.float32(-np.inf))
+    best2, _ = _top2(ratio2, xc2 > 0)
+
+    # Pseudo-interpolation around the fine winner.
+    bm1 = jnp.take_along_axis(xc2, jnp.maximum(best2 - 1, 0)[..., None], axis=-1)[..., 0]
+    b0v = jnp.take_along_axis(xc2, best2[..., None], axis=-1)[..., 0]
+    bp1 = jnp.take_along_axis(xc2, jnp.minimum(best2 + 1, _FINE_LAGS - 1)[..., None], axis=-1)[..., 0]
+    offs = jnp.where(
+        bp1 - bm1 > 0.7 * (b0v - bm1), 1,
+        jnp.where(bm1 - bp1 > 0.7 * (b0v - bp1), -1, 0),
+    )
+    offs = jnp.where((best2 > 0) & (best2 < _FINE_LAGS - 1), offs, 0)
+    pitch0 = 2 * best2 - offs  # full-rate period from pitch_search
+    T0 = jnp.minimum((PMAX - pitch0) // 2, _RD_MAXP - 1)  # half-rate, clamped
+
+    # --- remove_doubling: frame-parallel correlations ----------------------
+    u = bds  # [S, F, 864] half-rate buffer
+    v = bds[..., _RD_MAXP:]  # [S, F, 480] the analysis segment
+    xx = jnp.sum(v * v, axis=-1)
+    # corr[T] = sum_j v[j] * u[384 - T + j]; cross-corr then index-flip.
+    cross = _xcorr_fft(v, u, 1024, _RD_MAXP + 1)  # [.., s] s = 384-T
+    corr = jnp.flip(cross, axis=-1)  # [.., T] for T in 0..384
+    yyl = jnp.maximum(0.0, jnp.flip(_sliding_energy(u, _RD_N, _RD_MAXP + 1), axis=-1))
+
+    xy_T0 = jnp.take_along_axis(corr, T0[..., None], axis=-1)[..., 0]
+    yy_T0 = jnp.take_along_axis(yyl, T0[..., None], axis=-1)[..., 0]
+    g0 = xy_T0 / jnp.sqrt(1.0 + xx * yy_T0)
+
+    ks = jnp.arange(2, 16, dtype=jnp.int32)  # [14]
+    T0k = T0[..., None]
+    T1 = (2 * T0k + ks) // (2 * ks)  # [S, F, 14]
+    sc = jnp.take(params["second_check"], ks)
+    T1b_k2 = jnp.where(T0k + T1 > _RD_MAXP, T0k, T0k + T1)
+    T1b = jnp.where(ks == 2, T1b_k2, (2 * sc * T0k + ks) // (2 * ks))
+    xy1 = jnp.take_along_axis(corr, T1, axis=-1)
+    xy2 = jnp.take_along_axis(corr, T1b, axis=-1)
+    xy_k = 0.5 * (xy1 + xy2)
+    yy_k = 0.5 * (jnp.take_along_axis(yyl, T1, axis=-1) + jnp.take_along_axis(yyl, T1b, axis=-1))
+    g1 = xy_k / jnp.sqrt(1.0 + xx[..., None] * yy_k)
+    valid = jnp.cumprod((T1 >= _RD_MINP).astype(jnp.int32), axis=-1).astype(bool)
+
+    # --- sequential continuation scan over frames --------------------------
+    def rd_step(carry, inp):
+        prev_T, prev_g = carry  # [S] full-rate period, gain
+        (T1_f, g1_f, valid_f, g0_f, T0_f, xy_k_f, yy_k_f, xyT0_f, yyT0_f,
+         corr_f) = inp
+        pph = prev_T // 2
+        dT = jnp.abs(T1_f - pph[:, None])
+        cont = jnp.where(
+            dT <= 1, prev_g[:, None],
+            jnp.where((dT <= 2) & (5 * ks * ks < T0_f[:, None]), 0.5 * prev_g[:, None], 0.0),
+        )
+        thresh = jnp.maximum(0.3, 0.7 * g0_f[:, None] - cont)
+        thresh = jnp.where(
+            T1_f < 3 * _RD_MINP, jnp.maximum(0.4, 0.85 * g0_f[:, None] - cont),
+            jnp.where(T1_f < 2 * _RD_MINP, jnp.maximum(0.5, 0.9 * g0_f[:, None] - cont), thresh),
+        )
+        choose = valid_f & (g1_f > thresh)
+        kidx = jnp.max(jnp.where(choose, jnp.arange(14), -1), axis=-1)  # last winner
+        any_k = kidx >= 0
+        kidx_c = jnp.maximum(kidx, 0)[:, None]
+        T_sel = jnp.where(any_k, jnp.take_along_axis(T1_f, kidx_c, axis=-1)[:, 0], T0_f)
+        xy_sel = jnp.where(any_k, jnp.take_along_axis(xy_k_f, kidx_c, axis=-1)[:, 0], xyT0_f)
+        yy_sel = jnp.where(any_k, jnp.take_along_axis(yy_k_f, kidx_c, axis=-1)[:, 0], yyT0_f)
+        g_sel = jnp.where(any_k, jnp.take_along_axis(g1_f, kidx_c, axis=-1)[:, 0], g0_f)
+        best_xy = jnp.maximum(0.0, xy_sel)
+        pg = jnp.where(yy_sel <= best_xy, 1.0, best_xy / (yy_sel + 1.0))
+        tidx = T_sel[:, None] + jnp.arange(-1, 2)  # [S, 3]
+        xc3 = jnp.take_along_axis(corr_f, jnp.clip(tidx, 0, _RD_MAXP), axis=-1)
+        off = jnp.where(
+            xc3[:, 2] - xc3[:, 0] > 0.7 * (xc3[:, 1] - xc3[:, 0]), 1,
+            jnp.where(xc3[:, 0] - xc3[:, 2] > 0.7 * (xc3[:, 1] - xc3[:, 2]), -1, 0),
+        )
+        pg = jnp.minimum(pg, g_sel)
+        T_out = jnp.maximum(2 * T_sel + off, PMIN).astype(jnp.int32)
+        return (T_out, pg), (T_out, pg)
+
+    def tmaj(a):
+        return jnp.moveaxis(a, 1, 0)  # [S, F, ...] → [F, S, ...]
+
+    (lp, lg), (pitch_idx, _pg) = lax.scan(
+        rd_step,
+        (state["last_period"], state["last_gain"]),
+        (tmaj(T1), tmaj(g1), tmaj(valid), tmaj(g0), tmaj(T0), tmaj(xy_k),
+         tmaj(yy_k), tmaj(xy_T0), tmaj(yy_T0), tmaj(corr)),
+    )
+    return jnp.moveaxis(pitch_idx, 0, 1), lp, lg  # [S, F], [S], [S]
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: spectra, band energies, features
+# ---------------------------------------------------------------------------
+
+def _spectrum(params, frames: jnp.ndarray) -> jnp.ndarray:
+    """frames [.., 960] → windowed rfft [.., 481] with RNNoise 1/N scaling."""
+    hw = params["half_window"]
+    w = jnp.concatenate([hw, hw[::-1]])
+    return jnp.fft.rfft(frames * w, n=WIN, axis=-1) / WIN
+
+
+def _band_energy(params, X: jnp.ndarray) -> jnp.ndarray:
+    e = (jnp.real(X) ** 2 + jnp.imag(X) ** 2).astype(jnp.float32)
+    return jnp.einsum("...q,qb->...b", e, params["band_e"], precision=_HIGH)
+
+
+def _band_corr(params, X: jnp.ndarray, P: jnp.ndarray) -> jnp.ndarray:
+    c = (jnp.real(X) * jnp.real(P) + jnp.imag(X) * jnp.imag(P)).astype(jnp.float32)
+    return jnp.einsum("...q,qb->...b", c, params["band_e"], precision=_HIGH)
+
+
+def _interp_gain(params, g: jnp.ndarray) -> jnp.ndarray:
+    return jnp.einsum("...b,bq->...q", g, params["band_interp"], precision=_HIGH)
+
+
+def _log_band_energies(Ex: jnp.ndarray) -> jnp.ndarray:
+    """Intra-frame max-follow smoothing over the 22 bands (tiny scan)."""
+    v = jnp.log10(1e-2 + Ex)  # [S, F, 22]
+
+    def step(carry, vi):
+        log_max, follow = carry
+        val = jnp.maximum(log_max - 7.0, jnp.maximum(follow - 1.5, vi))
+        return (jnp.maximum(log_max, val), jnp.maximum(follow - 1.5, val)), val
+
+    init = (jnp.full(v.shape[:-1], -2.0, jnp.float32),
+            jnp.full(v.shape[:-1], -2.0, jnp.float32))
+    _, ly = lax.scan(step, init, jnp.moveaxis(v, -1, 0))
+    return jnp.moveaxis(ly, 0, -1)
+
+
+def _cepstral_features(params, state, ceps0: jnp.ndarray, silence: jnp.ndarray):
+    """Silence-aware cepstral delta + variability features, frame-parallel.
+
+    The reference's ring buffer only advances on non-silent frames, so
+    "previous" means previous *non-silent*: we rank non-silent frames with a
+    cumsum, scatter their cepstra into rank order behind the carried
+    8-deep history, and gather deltas/variability windows by rank.
+    """
+    S, F, _ = ceps0.shape
+    nonsil = ~silence
+    rank = jnp.cumsum(nonsil.astype(jnp.int32), axis=1)  # inclusive [S, F]
+    pos = jnp.where(nonsil, rank - 1, F)  # silent → dustbin
+    ordered = jnp.zeros((S, F + 1, NB), jnp.float32)
+    ordered = ordered.at[jnp.arange(S)[:, None], pos].set(ceps0)
+    padded = jnp.concatenate([state["ceps_hist"], ordered[:, :F]], axis=1)  # [S, 8+F, 22]
+
+    def gather(idx):  # idx [S, F] → [S, F, 22]
+        return jnp.take_along_axis(padded, jnp.clip(idx, 0, 7 + F)[..., None], axis=1)
+
+    c1 = gather(C.CEPS_MEM + rank - 2)
+    c2 = gather(C.CEPS_MEM + rank - 3)
+
+    # Variability: the 8-slot window ending at the current frame's rank.
+    widx = rank[..., None] + jnp.arange(C.CEPS_MEM)  # [S, F, 8] into padded
+    mem = jax.vmap(lambda p, w: p[w])(padded, jnp.clip(widx, 0, 7 + F))  # [S, F, 8, 22]
+    diff = mem[:, :, :, None, :] - mem[:, :, None, :, :]
+    dist = jnp.sum(diff * diff, axis=-1)  # [S, F, 8, 8]
+    eye = jnp.eye(C.CEPS_MEM, dtype=bool)
+    dist = jnp.where(eye, jnp.float32(np.inf), dist)
+    spec_var = jnp.sum(jnp.min(dist, axis=-1), axis=-1) / C.CEPS_MEM  # [S, F]
+
+    # Updated history: last 8 non-silent cepstra at block end.
+    r_last = rank[:, -1]
+    hidx = r_last[:, None] + jnp.arange(C.CEPS_MEM)
+    new_hist = jax.vmap(lambda p, w: p[w])(padded, hidx)
+    return c1, c2, spec_var, new_hist
+
+
+# ---------------------------------------------------------------------------
+# Stage 4: the GRU network scan (jnp version; see pallas_rnn for the kernel)
+# ---------------------------------------------------------------------------
+
+def _gru_step(params, table, prefix: str, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    w, u, b = params[f"{prefix}.w"], params[f"{prefix}.u"], params[f"{prefix}.b"]
+    n = u.shape[0]
+    pre_in = jnp.dot(x, w, precision=_HIGH) + b
+    rec_zr = jnp.dot(h, u[:, : 2 * n], precision=_HIGH)
+    z = _sigmoid(table, pre_in[:, :n] + rec_zr[:, :n])
+    r = _sigmoid(table, pre_in[:, n: 2 * n] + rec_zr[:, n:])
+    hcand = pre_in[:, 2 * n:] + jnp.dot(h * r, u[:, 2 * n:], precision=_HIGH)
+    hcand = jnp.maximum(hcand, 0.0)  # relu candidate
+    return z * h + (1.0 - z) * hcand
+
+
+def _nn_scan(params, state, feats: jnp.ndarray, silence: jnp.ndarray):
+    """feats [S, F, 42], silence [S, F] → raw gains, smoothed gains, vad."""
+    table = params["tansig_table"]
+
+    def step(carry, inp):
+        vad_s, noi_s, den_s, lastg = carry
+        f, sil = inp  # [S, 42], [S]
+        keep = sil[:, None]
+        dense = _tansig(table, jnp.dot(f, params["input_dense.w"], precision=_HIGH)
+                        + params["input_dense.b"])
+        vad_n = _gru_step(params, table, "vad_gru", vad_s, dense)
+        vad_s2 = jnp.where(keep, vad_s, vad_n)
+        vad_p = _sigmoid(table, jnp.dot(vad_s2, params["vad_output.w"], precision=_HIGH)
+                         + params["vad_output.b"])[:, 0]
+        noise_in = jnp.concatenate([dense, vad_s2, f], axis=-1)
+        noi_n = _gru_step(params, table, "noise_gru", noi_s, noise_in)
+        noi_s2 = jnp.where(keep, noi_s, noi_n)
+        den_in = jnp.concatenate([vad_s2, noi_s2, f], axis=-1)
+        den_n = _gru_step(params, table, "denoise_gru", den_s, den_in)
+        den_s2 = jnp.where(keep, den_s, den_n)
+        graw = _sigmoid(table, jnp.dot(den_s2, params["denoise_output.w"], precision=_HIGH)
+                        + params["denoise_output.b"])
+        gs = jnp.maximum(graw, np.float32(C.ALPHA_LASTG) * lastg)
+        lastg2 = jnp.where(keep, lastg, gs)
+        vad_out = jnp.where(sil, 0.0, vad_p)
+        return (vad_s2, noi_s2, den_s2, lastg2), (graw, gs, vad_out)
+
+    init = (state["gru_vad"], state["gru_noise"], state["gru_denoise"], state["lastg"])
+    (vad_f, noi_f, den_f, lastg_f), (graw, gsmooth, vad) = lax.scan(
+        step, init, (jnp.moveaxis(feats, 1, 0), silence.T)
+    )
+    outs = tuple(jnp.moveaxis(a, 0, 1) for a in (graw, gsmooth, vad))
+    return outs, {"gru_vad": vad_f, "gru_noise": noi_f, "gru_denoise": den_f, "lastg": lastg_f}
+
+
+# ---------------------------------------------------------------------------
+# The block step
+# ---------------------------------------------------------------------------
+
+def denoise_block(params, state, block: jnp.ndarray):
+    """One jitted step: block [S, F*480] in [-1, 1] → (new_state, out same shape)."""
+    S, L = block.shape
+    assert L % FRAME == 0, "block length must be a multiple of 480"
+    F = L // FRAME
+
+    x = (block.astype(jnp.float32) * 32768.0).reshape(S, F, FRAME)
+    state, hp = _hp_biquad(params, state, x)
+    hp_flat = hp.reshape(S, F * FRAME)
+    ext = jnp.concatenate([state["hp_tail"], hp_flat], axis=-1)  # [S, 1+1248+L]
+    state = dict(state)
+    state["hp_tail"] = ext[:, -(HIST + 1):]
+
+    # Analysis spectra: window f covers ext[769 + f*480 : +960].
+    awin = _windows(ext[:, 1 + HIST - FRAME:], FRAME, WIN, F)  # [S, F, 960]
+    X = _spectrum(params, awin)
+    Ex = _band_energy(params, X)
+
+    # Pitch.
+    pitch_idx, lp, lg = _pitch_index(params, state, ext, F)
+    state["last_period"], state["last_gain"] = lp, lg
+
+    # Pitch-delayed window: ext[1 + f*480 + 1728 - 960 - idx + j].
+    base = 1 + np.arange(F, dtype=np.int32)[None, :, None] * FRAME + (PBUF - WIN)
+    pidx = base + np.arange(WIN, dtype=np.int32)[None, None, :] - pitch_idx[..., None]
+    pwin = jnp.take_along_axis(ext, pidx.reshape(S, F * WIN), axis=-1).reshape(S, F, WIN)
+    P = _spectrum(params, pwin)
+    Ep = _band_energy(params, P)
+    Exp = _band_corr(params, X, P) / jnp.sqrt(0.001 + Ex * Ep)
+
+    # Features.
+    E = jnp.sum(Ex, axis=-1)
+    silence = E < C.SILENCE_ENERGY  # [S, F]
+    Ly = _log_band_energies(Ex)
+    ceps0 = jnp.einsum("sfb,bc->sfc", Ly, params["dct"], precision=_HIGH)
+    ceps0 = ceps0.at[:, :, 0].add(-12.0).at[:, :, 1].add(-4.0)
+    c1, c2, spec_var, new_hist = _cepstral_features(params, state, ceps0, silence)
+    state["ceps_hist"] = new_hist
+
+    nd = C.NB_DELTA_CEPS
+    exp_dct = jnp.einsum("sfb,bc->sfc", Exp, params["dct"], precision=_HIGH)[..., :nd]
+    exp_dct = exp_dct.at[..., 0].add(-1.3).at[..., 1].add(-0.9)
+    feats = jnp.concatenate(
+        [
+            jnp.concatenate([(ceps0 + c1 + c2)[..., :nd], ceps0[..., nd:]], axis=-1),
+            (ceps0 - c2)[..., :nd],
+            (ceps0 - 2.0 * c1 + c2)[..., :nd],
+            exp_dct,
+            (0.01 * (pitch_idx.astype(jnp.float32) - 300.0))[..., None],
+            (spec_var - 2.1)[..., None],
+        ],
+        axis=-1,
+    )  # [S, F, 42]
+    feats = jnp.where(silence[..., None], 0.0, feats)
+
+    # Network.
+    (graw, gsmooth, vad), nn_state = _nn_scan(params, state, feats, silence)
+    state.update(nn_state)
+
+    # Pitch filter (raw gains), then smoothed-gain application.
+    g2 = graw * graw
+    exp2 = Exp * Exp
+    r = jnp.where(Exp > graw, 1.0, exp2 * (1.0 - g2) / (0.001 + g2 * (1.0 - exp2)))
+    r = jnp.sqrt(jnp.clip(r, 0.0, 1.0)) * jnp.sqrt(Ex / (1e-8 + Ep))
+    rf = _interp_gain(params, r)
+    Xp = X + rf * P
+    newE = _band_energy(params, Xp)
+    norm = jnp.sqrt(Ex / (1e-8 + newE))
+    Xf = Xp * _interp_gain(params, norm)
+    Xf = Xf * _interp_gain(params, gsmooth)
+    Xout = jnp.where(silence[..., None], X, Xf)
+
+    # Synthesis: irfft, window, overlap-add with the carried tail.
+    hw = params["half_window"]
+    w = jnp.concatenate([hw, hw[::-1]])
+    xt = jnp.fft.irfft(Xout, n=WIN, axis=-1) * WIN * w
+    tails = jnp.concatenate([state["syn_mem"][:, None, :], xt[:, :-1, FRAME:]], axis=1)
+    out = (xt[..., :FRAME] + tails) / 32768.0
+    state["syn_mem"] = xt[:, -1, FRAME:]
+    return state, out.reshape(S, L), vad
+
+
+_denoise_block_jit = jax.jit(denoise_block, donate_argnums=(1,))
+
+
+# ---------------------------------------------------------------------------
+# Host driver
+# ---------------------------------------------------------------------------
+
+def denoise_batch(
+    audio: np.ndarray,
+    model: Optional[RNNoiseModel] = None,
+    block_frames: int = 500,
+    params=None,
+    return_vad: bool = False,
+):
+    """Denoise [S, T] (or [T]) mono audio in [-1, 1]; returns same shape.
+
+    Processes fixed-size blocks through the jitted step; trailing samples
+    that don't fill a frame pass through unchanged (reference behavior:
+    partial frames are never emitted by the NS processor).
+    """
+    squeeze = audio.ndim == 1
+    a = np.atleast_2d(np.asarray(audio, dtype=np.float32))
+    S, T = a.shape
+    if params is None:
+        params = make_params(model)
+    n_frames = T // FRAME
+    out = np.array(a, copy=True)
+    vads = []
+    state = init_state(S)
+    blk = block_frames * FRAME
+    done = 0
+    while done < n_frames * FRAME:
+        todo = min(blk, n_frames * FRAME - done)
+        chunk = a[:, done: done + todo]
+        if todo < blk:  # pad the tail block to keep one compiled shape
+            chunk = np.pad(chunk, ((0, 0), (0, blk - todo)))
+        state, o, v = _denoise_block_jit(params, state, jnp.asarray(chunk))
+        out[:, done: done + todo] = np.asarray(o)[:, :todo]
+        if return_vad:
+            vads.append(np.asarray(v)[:, : todo // FRAME])
+        done += todo
+    if return_vad:
+        v = np.concatenate(vads, axis=1) if vads else np.zeros((S, 0), np.float32)
+        return (out[0] if squeeze else out), (v[0] if squeeze else v)
+    return out[0] if squeeze else out

@@ -47,19 +47,37 @@ _BAND_INTERP = C.band_interp_matrix()
 # Elementary blocks
 # --------------------------------------------------------------------------
 
-def biquad(x: np.ndarray, mem: np.ndarray, b: np.ndarray, a: np.ndarray) -> np.ndarray:
-    """Transposed direct-form-II biquad, updating `mem` in place."""
+def biquad(x: np.ndarray, mem: np.ndarray, b: np.ndarray, a: np.ndarray,
+           dtype=np.float64) -> np.ndarray:
+    """Transposed direct-form-II biquad, updating `mem` in place.
+
+    Defaults to float64 accumulation: the filter's poles sit at |z|≈0.998
+    (a ~19 Hz resonance), which amplifies f32 rounding noise to ~3e-4 of full
+    scale over 10 s — *any* two differently-ordered f32 implementations
+    (including the reference's own) diverge by that much through this filter.
+    The spec here is therefore the exact filter; pass dtype=np.float32 to
+    model the reference's per-sample f32 arithmetic instead.
+    """
+    if dtype is np.float64:
+        # scipy's transposed-DF2 lfilter is the identical recurrence in f64.
+        from scipy.signal import lfilter
+
+        bb = np.array([1.0, b[0], b[1]], dtype=np.float64)
+        aa = np.array([1.0, a[0], a[1]], dtype=np.float64)
+        y, zf = lfilter(bb, aa, x.astype(np.float64), zi=np.asarray(mem, np.float64))
+        mem[0], mem[1] = zf[0], zf[1]
+        return y.astype(np.float32)
     y = np.empty_like(x, dtype=np.float32)
-    m0, m1 = np.float32(mem[0]), np.float32(mem[1])
-    b0, b1 = np.float32(b[0]), np.float32(b[1])
-    a0, a1 = np.float32(a[0]), np.float32(a[1])
+    m0, m1 = dtype(mem[0]), dtype(mem[1])
+    b0, b1 = dtype(b[0]), dtype(b[1])
+    a0, a1 = dtype(a[0]), dtype(a[1])
     for i in range(x.shape[0]):
-        xi = np.float32(x[i])
-        yi = np.float32(xi + m0)
-        m0 = np.float32(m1 + (b0 * xi - a0 * yi))
-        m1 = np.float32(b1 * xi - a1 * yi)
-        y[i] = yi
-    mem[0], mem[1] = m0, m1
+        xi = dtype(x[i])
+        yi = dtype(xi + m0)
+        m0 = dtype(m1 + (b0 * xi - a0 * yi))
+        m1 = dtype(b1 * xi - a1 * yi)
+        y[i] = np.float32(yi)
+    mem[0], mem[1] = m0, m1  # mem keeps the accumulation dtype across frames
     return y
 
 
@@ -116,10 +134,8 @@ def pitch_downsample(x: np.ndarray) -> np.ndarray:
 def _xcorr(x: np.ndarray, y: np.ndarray, max_pitch: int) -> np.ndarray:
     """xcorr[i] = sum_j x[j] * y[j + i] for i in [0, max_pitch)."""
     n = x.shape[0]
-    out = np.empty(max_pitch, dtype=np.float32)
-    for i in range(max_pitch):
-        out[i] = np.dot(x, y[i:i + n])
-    return out
+    windows = np.lib.stride_tricks.sliding_window_view(y, n)[:max_pitch]
+    return (windows @ x).astype(np.float32)
 
 
 def find_best_pitch(xcorr: np.ndarray, y: np.ndarray, length: int, max_pitch: int) -> Tuple[int, int]:
@@ -128,7 +144,12 @@ def find_best_pitch(xcorr: np.ndarray, y: np.ndarray, length: int, max_pitch: in
     Syy is the running window energy 1 + sum(y[i:i+len]^2), clamped >= 1,
     updated incrementally exactly like the C code.
     """
-    Syy = np.float32(1.0) + np.float32(np.dot(y[:length], y[:length]))
+    sq = y.astype(np.float32) ** 2
+    csum = np.concatenate([[np.float32(0.0)], np.cumsum(sq, dtype=np.float32)])
+    syy_all = np.maximum(
+        np.float32(1.0),
+        np.float32(1.0) + csum[length: length + max_pitch] - csum[:max_pitch],
+    )
     best_num = [np.float32(-1.0), np.float32(-1.0)]
     best_den = [np.float32(0.0), np.float32(0.0)]
     best_pitch = [0, 1]
@@ -136,14 +157,13 @@ def find_best_pitch(xcorr: np.ndarray, y: np.ndarray, length: int, max_pitch: in
         xc = xcorr[i]
         if xc > 0:
             num = np.float32(xc * xc)
+            Syy = syy_all[i]
             if num * best_den[1] > best_num[1] * Syy:
                 if num * best_den[0] > best_num[0] * Syy:
                     best_num[1], best_den[1], best_pitch[1] = best_num[0], best_den[0], best_pitch[0]
                     best_num[0], best_den[0], best_pitch[0] = num, Syy, i
                 else:
                     best_num[1], best_den[1], best_pitch[1] = num, Syy, i
-        Syy = np.float32(Syy + y[i + length] * y[i + length] - y[i] * y[i])
-        Syy = max(np.float32(1.0), Syy)
     return best_pitch[0], best_pitch[1]
 
 
@@ -207,12 +227,12 @@ def remove_doubling(
     xs = x[off: off + N]
     xx = np.float32(np.dot(xs, xs))
     xy = np.float32(np.dot(xs, x[off - T0: off - T0 + N]))
-    yy_lookup = np.empty(maxperiod + 1, dtype=np.float32)
-    yy_lookup[0] = xx
-    yy = xx
-    for i in range(1, maxperiod + 1):
-        yy = np.float32(yy + x[off - i] * x[off - i] - x[off + N - i] * x[off + N - i])
-        yy_lookup[i] = max(np.float32(0.0), yy)
+    # yy_lookup[i] = energy of the window starting i samples earlier
+    # (clamped >= 0), vectorized form of the C running update.
+    sq = (x.astype(np.float32) ** 2)
+    csum = np.concatenate([[np.float32(0.0)], np.cumsum(sq, dtype=np.float32)])
+    starts = off - np.arange(maxperiod + 1)
+    yy_lookup = np.maximum(0.0, csum[starts + N] - csum[starts]).astype(np.float32)
     yy = yy_lookup[T0]
     best_xy, best_yy = xy, yy
     g = g0 = compute_pitch_gain(xy, xx, yy)
@@ -367,7 +387,7 @@ class DenoiseState:
         self.pitch_buf = np.zeros(C.PITCH_BUF_SIZE, np.float32)
         self.cepstral_mem = np.zeros((C.CEPS_MEM, C.NB_BANDS), np.float32)
         self.memid = 0
-        self.mem_hp_x = np.zeros(2, np.float32)
+        self.mem_hp_x = np.zeros(2, np.float64)
         self.lastg = np.zeros(C.NB_BANDS, np.float32)
         self.last_gain = np.float32(0.0)
         self.last_period = 0

@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np
 import pytest
 
+# Persist XLA compilations across pytest runs (single-core host: compiles
+# dominate test wall time otherwise).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 
 @pytest.fixture
 def rng():

@@ -1,0 +1,117 @@
+"""Parity: batched JAX RNNoise pipeline vs the sequential NumPy oracle.
+
+The oracle is the executable spec (faithful to the public RNNoise algorithm
+the reference consumes via nnnoiseless). The TPU pipeline must reproduce it
+to ~1e-4 per sample on [-1, 1] audio, including across block boundaries
+(streaming state carry) and through silence gaps (state freezing).
+"""
+
+import numpy as np
+import pytest
+
+from crispy_tpu.dsp.rnnoise import constants as C
+from crispy_tpu.dsp.rnnoise import jax_pipeline as jp
+from crispy_tpu.dsp.rnnoise import oracle
+from crispy_tpu.dsp.rnnoise.weights import deterministic_test_model
+
+FRAME = C.FRAME_SIZE
+
+
+def speechlike(n, seed=0, f0=110.0, sr=48000, level=0.4):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    sig = sum((0.5 / k) * np.sin(2 * np.pi * f0 * k * t + 0.13 * k) for k in range(1, 9))
+    sig = sig * (0.6 + 0.4 * np.sin(2 * np.pi * 1.3 * t + seed))
+    sig += 0.03 * rng.standard_normal(n)
+    return (level * sig / np.max(np.abs(sig))).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return deterministic_test_model()
+
+
+@pytest.fixture(scope="module")
+def params(model):
+    return jp.make_params(model)
+
+
+def run_oracle(audio_2d, model):
+    return np.stack([oracle.denoise_stream(a, model) for a in audio_2d])
+
+
+class TestBlockParity:
+    def test_single_block_parity(self, model, params):
+        """Two streams, one 12-frame block, vs the oracle."""
+        n = 12 * FRAME
+        audio = np.stack([speechlike(n, seed=1), speechlike(n, seed=2, f0=180.0)])
+        want = run_oracle(audio, model)
+        got = jp.denoise_batch(audio, params=params, block_frames=12)
+        np.testing.assert_allclose(got, want, atol=1.5e-4)
+
+    def test_multi_block_state_carry(self, model, params):
+        """Block-boundary state (analysis/pitch/GRU/synthesis) must carry."""
+        n = 30 * FRAME
+        audio = np.stack([speechlike(n, seed=3, f0=95.0), speechlike(n, seed=4, f0=240.0)])
+        want = run_oracle(audio, model)
+        got = jp.denoise_batch(audio, params=params, block_frames=7)  # uneven split
+        np.testing.assert_allclose(got, want, atol=1.5e-4)
+
+    def test_silence_gap_state_freeze(self, model, params):
+        """Silent stretch inside speech: GRU/ceps state freezes, output passes
+        the unmodified spectrum — exactly like the oracle."""
+        n = 24 * FRAME
+        audio = speechlike(n, seed=5)
+        audio[8 * FRAME: 14 * FRAME] = 0.0
+        audio = audio[None, :]
+        want = run_oracle(audio, model)
+        got = jp.denoise_batch(audio, params=params, block_frames=6)
+        np.testing.assert_allclose(got, want, atol=1.5e-4)
+
+    def test_leading_silence(self, model, params):
+        n = 10 * FRAME
+        audio = np.zeros(n, np.float32)
+        audio[4 * FRAME:] = speechlike(6 * FRAME, seed=6)
+        audio = audio[None, :]
+        want = run_oracle(audio, model)
+        got = jp.denoise_batch(audio, params=params, block_frames=5)
+        np.testing.assert_allclose(got, want, atol=1.5e-4)
+
+    def test_vad_parity(self, model, params):
+        n = 10 * FRAME
+        audio = speechlike(n, seed=7)[None, :]
+        st = oracle.DenoiseState(model=model)
+        want_vad = []
+        for f in range(10):
+            _, v = st.process_frame(audio[0, f * FRAME: (f + 1) * FRAME] * 32768.0)
+            want_vad.append(v)
+        _, got_vad = jp.denoise_batch(audio, params=params, block_frames=10, return_vad=True)
+        np.testing.assert_allclose(got_vad[0], np.array(want_vad), atol=1e-3)
+
+    def test_partial_tail_passthrough(self, model, params):
+        n = 5 * FRAME + 123
+        audio = speechlike(n, seed=8)[None, :]
+        got = jp.denoise_batch(audio, params=params, block_frames=5)
+        np.testing.assert_array_equal(got[0, 5 * FRAME:], audio[0, 5 * FRAME:])
+
+    def test_pitch_index_parity(self, model, params):
+        """The selected pitch periods must match the oracle exactly."""
+        import jax.numpy as jnp
+
+        n = 16 * FRAME
+        audio = np.stack([speechlike(n, seed=9, f0=130.0)])
+        st = oracle.DenoiseState(model=model)
+        want = []
+        for f in range(16):
+            x = oracle.biquad(audio[0, f * FRAME: (f + 1) * FRAME] * 32768.0,
+                              st.mem_hp_x, C.BIQUAD_B_HP, C.BIQUAD_A_HP)
+            st._compute_frame_features(x)
+            want.append(st.last_period)
+
+        state = jp.init_state(1)
+        x = (jnp.asarray(audio) * 32768.0).reshape(1, 16, FRAME)
+        state2, hp = jp._hp_biquad(params, state, x)
+        ext = jnp.concatenate([state2["hp_tail"], hp.reshape(1, -1)], axis=-1)
+        pidx, _, _ = jp._pitch_index(params, state2, ext, 16)
+        got = np.asarray(pidx)[0]
+        assert np.array_equal(got, np.array(want)), f"{got} vs {want}"
