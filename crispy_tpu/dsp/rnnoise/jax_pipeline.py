@@ -99,10 +99,38 @@ def _biquad_tables() -> Dict[str, np.ndarray]:
     }
 
 
+def _dft_tables() -> Dict[str, np.ndarray]:
+    """Windowed 960-point real DFT as MXU matmuls.
+
+    At RNNoise's transform size, an O(N^2) matmul DFT beats XLA's FFT on TPU
+    by a wide margin (the MXU runs it at full tilt; the FFT lowers to a long
+    scalar-ish pipeline). The Vorbis window and RNNoise's 1/N forward scaling
+    are folded into the matrices.
+    """
+    n = np.arange(WIN, dtype=np.float64)[:, None]
+    k = np.arange(NFREQ, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / WIN
+    w = C.full_window().astype(np.float64)[:, None]
+    fwd_re = (w * np.cos(ang)) / WIN  # [960, 481]
+    fwd_im = (-w * np.sin(ang)) / WIN
+    ck = np.full(NFREQ, 2.0)
+    ck[0] = ck[-1] = 1.0
+    # inverse (x WIN) with synthesis window folded: [481, 960]
+    inv_re = (ck[:, None] * np.cos(ang.T)) * w.T
+    inv_im = (-ck[:, None] * np.sin(ang.T)) * w.T
+    return {
+        "dft_fwd_re": fwd_re.astype(np.float32),
+        "dft_fwd_im": fwd_im.astype(np.float32),
+        "dft_inv_re": inv_re.astype(np.float32),
+        "dft_inv_im": inv_im.astype(np.float32),
+    }
+
+
 def make_params(model: Optional[RNNoiseModel] = None) -> Dict[str, jnp.ndarray]:
     model = model or builtin_model()
     t: Dict[str, np.ndarray] = {}
     t.update(_biquad_tables())
+    t.update(_dft_tables())
     t["half_window"] = C.half_window()
     t["band_e"] = C.band_energy_matrix().T  # [481, 22] for e @ W
     t["band_interp"] = C.band_interp_matrix().T  # [22, 481] for g @ W
@@ -146,12 +174,21 @@ def init_state(n_streams: int) -> Dict[str, jnp.ndarray]:
 # ---------------------------------------------------------------------------
 
 def _tansig(table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """tansig_approx: table-interpolated tanh, matching the oracle exactly."""
+    """tansig_approx: table-interpolated tanh, matching the oracle exactly.
+
+    The 201-entry lookup is a one-hot matmul rather than a gather — TPU
+    gathers inside a scan body are slow; a [.., 201] one-hot contraction
+    rides the MXU/VPU instead.
+    """
     sign = jnp.where(x < 0, -1.0, 1.0).astype(jnp.float32)
     ax = jnp.abs(x)
     i = jnp.clip(jnp.floor(0.5 + 25.0 * jnp.nan_to_num(ax)).astype(jnp.int32), 0, 200)
     dx = ax - 0.04 * i.astype(jnp.float32)
-    y = jnp.take(table, i)
+    if jax.default_backend() == "tpu":
+        onehot = (i[..., None] == jnp.arange(201, dtype=jnp.int32)).astype(jnp.float32)
+        y = jnp.einsum("...t,t->...", onehot, table, precision=_HIGH)
+    else:
+        y = jnp.take(table, i)
     dy = 1.0 - y * y
     y = y + dx * dy * (1.0 - y * dx)
     out = sign * y
@@ -378,20 +415,43 @@ def _pitch_index(params, state, ext: jnp.ndarray, F: int):
 # Stage 3: spectra, band energies, features
 # ---------------------------------------------------------------------------
 
-def _spectrum(params, frames: jnp.ndarray) -> jnp.ndarray:
-    """frames [.., 960] → windowed rfft [.., 481] with RNNoise 1/N scaling."""
+def _use_matmul_dft() -> bool:
+    """MXU matmul DFT on TPU (much faster than XLA FFT at N=960); FFT on
+    CPU/GPU where an O(N^2) matmul would be the slow path."""
+    return jax.default_backend() == "tpu"
+
+
+def _spectrum(params, frames: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """frames [.., 960] → windowed DFT (re, im) [.., 481], RNNoise 1/N scaling."""
+    if _use_matmul_dft():
+        re = jnp.einsum("...n,nk->...k", frames, params["dft_fwd_re"], precision=_HIGH)
+        im = jnp.einsum("...n,nk->...k", frames, params["dft_fwd_im"], precision=_HIGH)
+        return re, im
     hw = params["half_window"]
     w = jnp.concatenate([hw, hw[::-1]])
-    return jnp.fft.rfft(frames * w, n=WIN, axis=-1) / WIN
+    X = jnp.fft.rfft(frames * w, n=WIN, axis=-1) / WIN
+    return jnp.real(X).astype(jnp.float32), jnp.imag(X).astype(jnp.float32)
 
 
-def _band_energy(params, X: jnp.ndarray) -> jnp.ndarray:
-    e = (jnp.real(X) ** 2 + jnp.imag(X) ** 2).astype(jnp.float32)
+def _inv_spectrum(params, re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    """(re, im) [.., 481] → windowed time frame [.., 960] (x WIN scaling folded)."""
+    if _use_matmul_dft():
+        return (
+            jnp.einsum("...k,kn->...n", re, params["dft_inv_re"], precision=_HIGH)
+            + jnp.einsum("...k,kn->...n", im, params["dft_inv_im"], precision=_HIGH)
+        )
+    hw = params["half_window"]
+    w = jnp.concatenate([hw, hw[::-1]])
+    return jnp.fft.irfft(lax.complex(re, im), n=WIN, axis=-1) * WIN * w
+
+
+def _band_energy(params, Xr: jnp.ndarray, Xi: jnp.ndarray) -> jnp.ndarray:
+    e = Xr * Xr + Xi * Xi
     return jnp.einsum("...q,qb->...b", e, params["band_e"], precision=_HIGH)
 
 
-def _band_corr(params, X: jnp.ndarray, P: jnp.ndarray) -> jnp.ndarray:
-    c = (jnp.real(X) * jnp.real(P) + jnp.imag(X) * jnp.imag(P)).astype(jnp.float32)
+def _band_corr(params, Xr, Xi, Pr, Pi) -> jnp.ndarray:
+    c = Xr * Pr + Xi * Pi
     return jnp.einsum("...q,qb->...b", c, params["band_e"], precision=_HIGH)
 
 
@@ -522,20 +582,24 @@ def denoise_block(params, state, block: jnp.ndarray):
 
     # Analysis spectra: window f covers ext[769 + f*480 : +960].
     awin = _windows(ext[:, 1 + HIST - FRAME:], FRAME, WIN, F)  # [S, F, 960]
-    X = _spectrum(params, awin)
-    Ex = _band_energy(params, X)
+    Xr, Xi = _spectrum(params, awin)
+    Ex = _band_energy(params, Xr, Xi)
 
     # Pitch.
     pitch_idx, lp, lg = _pitch_index(params, state, ext, F)
     state["last_period"], state["last_gain"] = lp, lg
 
-    # Pitch-delayed window: ext[1 + f*480 + 1728 - 960 - idx + j].
-    base = 1 + np.arange(F, dtype=np.int32)[None, :, None] * FRAME + (PBUF - WIN)
-    pidx = base + np.arange(WIN, dtype=np.int32)[None, None, :] - pitch_idx[..., None]
-    pwin = jnp.take_along_axis(ext, pidx.reshape(S, F * WIN), axis=-1).reshape(S, F, WIN)
-    P = _spectrum(params, pwin)
-    Ep = _band_energy(params, P)
-    Exp = _band_corr(params, X, P) / jnp.sqrt(0.001 + Ex * Ep)
+    # Pitch-delayed window: ext[1 + f*480 + 1728 - 960 - idx : +960] — a
+    # contiguous dynamic slice per frame (fast TPU lowering, unlike a
+    # per-element gather).
+    starts = 1 + jnp.arange(F, dtype=jnp.int32)[None, :] * FRAME + (PBUF - WIN) - pitch_idx
+    pwin = jax.vmap(
+        jax.vmap(lambda e, s: lax.dynamic_slice(e, (s,), (WIN,)), in_axes=(None, 0)),
+        in_axes=(0, 0),
+    )(ext, starts)  # [S, F, 960]
+    Pr, Pi = _spectrum(params, pwin)
+    Ep = _band_energy(params, Pr, Pi)
+    Exp = _band_corr(params, Xr, Xi, Pr, Pi) / jnp.sqrt(0.001 + Ex * Ep)
 
     # Features.
     E = jnp.sum(Ex, axis=-1)
@@ -572,17 +636,16 @@ def denoise_block(params, state, block: jnp.ndarray):
     r = jnp.where(Exp > graw, 1.0, exp2 * (1.0 - g2) / (0.001 + g2 * (1.0 - exp2)))
     r = jnp.sqrt(jnp.clip(r, 0.0, 1.0)) * jnp.sqrt(Ex / (1e-8 + Ep))
     rf = _interp_gain(params, r)
-    Xp = X + rf * P
-    newE = _band_energy(params, Xp)
+    Xpr, Xpi = Xr + rf * Pr, Xi + rf * Pi
+    newE = _band_energy(params, Xpr, Xpi)
     norm = jnp.sqrt(Ex / (1e-8 + newE))
-    Xf = Xp * _interp_gain(params, norm)
-    Xf = Xf * _interp_gain(params, gsmooth)
-    Xout = jnp.where(silence[..., None], X, Xf)
+    gain_all = _interp_gain(params, norm) * _interp_gain(params, gsmooth)
+    keep = silence[..., None]
+    Xor = jnp.where(keep, Xr, Xpr * gain_all)
+    Xoi = jnp.where(keep, Xi, Xpi * gain_all)
 
-    # Synthesis: irfft, window, overlap-add with the carried tail.
-    hw = params["half_window"]
-    w = jnp.concatenate([hw, hw[::-1]])
-    xt = jnp.fft.irfft(Xout, n=WIN, axis=-1) * WIN * w
+    # Synthesis: inverse windowed DFT (matmul), overlap-add with carried tail.
+    xt = _inv_spectrum(params, Xor, Xoi)  # [S, F, 960], window folded in
     tails = jnp.concatenate([state["syn_mem"][:, None, :], xt[:, :-1, FRAME:]], axis=1)
     out = (xt[..., :FRAME] + tails) / 32768.0
     state["syn_mem"] = xt[:, -1, FRAME:]
