@@ -42,7 +42,7 @@ from jax import lax
 from . import constants as C
 from .weights import RNNoiseModel, builtin_model
 
-_HIGH = lax.Precision.HIGHEST
+_HIGH = lax.Precision.HIGHEST  # output-affecting matmuls (1e-4 parity budget)
 
 FRAME = C.FRAME_SIZE  # 480
 WIN = C.WINDOW_SIZE  # 960
@@ -99,6 +99,59 @@ def _biquad_tables() -> Dict[str, np.ndarray]:
     }
 
 
+def _corr_tables() -> Dict[str, np.ndarray]:
+    """Real-DFT matrices for the pitch cross-correlations (matmul path).
+
+    corr[i] = sum_j x[j] y[j+i] = irfft(conj(rfft(x)) * rfft(y)); at these
+    sizes (512/1024-point transforms over short signals) MXU matmuls beat
+    the XLA FFT on TPU. Matrices map directly between time samples and
+    (re, im) bins, with only the needed lag outputs kept.
+    """
+    out: Dict[str, np.ndarray] = {}
+
+    def fwd(nfft, length, tag):
+        n = np.arange(length, dtype=np.float64)[:, None]
+        k = np.arange(nfft // 2 + 1, dtype=np.float64)[None, :]
+        ang = 2.0 * np.pi * n * k / nfft
+        out[f"cf_{tag}_re"] = np.cos(ang).astype(np.float32)  # [len, bins]
+        out[f"cf_{tag}_im"] = (-np.sin(ang)).astype(np.float32)
+
+    def inv(nfft, nlags, tag):
+        nb = nfft // 2 + 1
+        k = np.arange(nb, dtype=np.float64)[:, None]
+        i = np.arange(nlags, dtype=np.float64)[None, :]
+        ck = np.full((nb, 1), 2.0)
+        ck[0] = ck[-1] = 1.0
+        ang = 2.0 * np.pi * k * i / nfft
+        out[f"ci_{tag}_re"] = (ck * np.cos(ang) / nfft).astype(np.float32)  # [bins, lags]
+        out[f"ci_{tag}_im"] = (-ck * np.sin(ang) / nfft).astype(np.float32)
+
+    fwd(512, 240, "x4")
+    fwd(512, 387, "y4")
+    inv(512, _COARSE_LAGS, "c4")
+    # Fine stage and remove_doubling share one cross-correlation (the same
+    # 480-segment x 864-buffer pair); one inverse covers both lag ranges.
+    fwd(1024, _RD_N, "x2")
+    fwd(1024, PBUF // 2, "y2")
+    inv(1024, _RD_MAXP + 1, "c2")
+
+    # Sliding-window energies as banded 0/1 matmuls over the squared signal
+    # (cumsum-free: rides the MXU, exact summation order per window).
+    w4 = np.zeros((387, _COARSE_LAGS), np.float32)
+    for i in range(_COARSE_LAGS):
+        w4[i: i + 240, i] = 1.0
+    out["esw_4"] = w4
+    # columns 0..293: syy2 windows [i, i+480); columns 294..678: yyl windows
+    # [384-T, 864-T) for T = 0..384.
+    wf = np.zeros((PBUF // 2, _FINE_LAGS + _RD_MAXP + 1), np.float32)
+    for i in range(_FINE_LAGS):
+        wf[i: i + _RD_N, i] = 1.0
+    for T in range(_RD_MAXP + 1):
+        wf[_RD_MAXP - T: _RD_MAXP - T + _RD_N, _FINE_LAGS + T] = 1.0
+    out["esw_fine"] = wf
+    return out
+
+
 def _dft_tables() -> Dict[str, np.ndarray]:
     """Windowed 960-point real DFT as MXU matmuls.
 
@@ -131,6 +184,7 @@ def make_params(model: Optional[RNNoiseModel] = None) -> Dict[str, jnp.ndarray]:
     t: Dict[str, np.ndarray] = {}
     t.update(_biquad_tables())
     t.update(_dft_tables())
+    t.update(_corr_tables())
     t["half_window"] = C.half_window()
     t["band_e"] = C.band_energy_matrix().T  # [481, 22] for e @ W
     t["band_interp"] = C.band_interp_matrix().T  # [22, 481] for g @ W
@@ -183,10 +237,13 @@ def _tansig(table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     sign = jnp.where(x < 0, -1.0, 1.0).astype(jnp.float32)
     ax = jnp.abs(x)
     i = jnp.clip(jnp.floor(0.5 + 25.0 * jnp.nan_to_num(ax)).astype(jnp.int32), 0, 200)
-    dx = ax - 0.04 * i.astype(jnp.float32)
+    fi = i.astype(jnp.float32)
+    dx = ax - 0.04 * fi
     if jax.default_backend() == "tpu":
-        onehot = (i[..., None] == jnp.arange(201, dtype=jnp.int32)).astype(jnp.float32)
-        y = jnp.einsum("...t,t->...", onehot, table, precision=_HIGH)
+        # table[i] == f32(tanh(0.04 i)); evaluating tanh at the grid point on
+        # the VPU differs by ~1 ulp from the host-built table and avoids a
+        # gather inside the scan (gathers/one-hots dominated the scan cost).
+        y = jnp.tanh(0.04 * fi)
     else:
         y = jnp.take(table, i)
     dy = 1.0 - y * y
@@ -284,18 +341,42 @@ def _hp_biquad(params, state, x: jnp.ndarray) -> Tuple[dict, jnp.ndarray]:
 # Stage 2: pitch analysis (frame-parallel search + tiny continuation scan)
 # ---------------------------------------------------------------------------
 
+def _cross_corr(params, x, y, tagx, tagy, tagc, nlags):
+    """corr[.., i] = sum_j x[.., j] y[.., j+i] — matmul DFT on TPU, FFT off."""
+    if _use_matmul_dft():
+        xr = jnp.einsum("...n,nk->...k", x, params[f"cf_{tagx}_re"], precision=_HIGH)
+        xi = jnp.einsum("...n,nk->...k", x, params[f"cf_{tagx}_im"], precision=_HIGH)
+        yr = jnp.einsum("...n,nk->...k", y, params[f"cf_{tagy}_re"], precision=_HIGH)
+        yi = jnp.einsum("...n,nk->...k", y, params[f"cf_{tagy}_im"], precision=_HIGH)
+        cr = xr * yr + xi * yi  # conj(X) * Y
+        ci = xr * yi - xi * yr
+        full = (
+            jnp.einsum("...k,ki->...i", cr, params[f"ci_{tagc}_re"], precision=_HIGH)
+            + jnp.einsum("...k,ki->...i", ci, params[f"ci_{tagc}_im"], precision=_HIGH)
+        )
+        return full[..., :nlags]
+    nfft = 512 if tagc == "c4" else 1024
+    return _xcorr_fft(x, y, nfft, nlags)
+
+
 def _pitch_index(params, state, ext: jnp.ndarray, F: int):
     """ext: [S, 1+HIST+F*480] HP samples (ext[0] is the decimator edge).
 
     Returns (pitch_index [S, F] int32, new last_period/last_gain).
     """
     S = ext.shape[0]
-    # Global 2x decimation with the 3-tap smoother: D[j] over pairs of ext.
+    # Global 2x decimation with the 3-tap smoother, via a free reshape into
+    # sample pairs (strided slices lower to slow gathers on TPU):
+    # D[j] = .5*(.5*(ext[2j] + ext[2j+2]) + ext[2j+1]).
     nD = (ext.shape[1] - 1) // 2
-    e0 = ext[:, 0: 2 * nD: 2]
-    e1 = ext[:, 1: 2 * nD + 1: 2]
-    e2 = ext[:, 2: 2 * nD + 2: 2]
-    D = (0.5 * (0.5 * (e0 + e2) + e1)).astype(jnp.float32)  # [S, nD]
+    pairs = ext[:, : 2 * nD].reshape(S, nD, 2)
+    D = (0.5 * (0.5 * (pairs[:, :, 0] + jnp.concatenate(
+        [pairs[:, 1:, 0], ext[:, 2 * nD: 2 * nD + 1]], axis=1)) + pairs[:, :, 1])
+    ).astype(jnp.float32)  # [S, nD]
+    # Quarter-rate stream D2[m] = D[2m], built the same way from quads.
+    nD2 = (ext.shape[1] - 3) // 4
+    quads = ext[:, : 4 * nD2].reshape(S, nD2, 4)
+    D2 = (0.5 * (0.5 * (quads[:, :, 0] + quads[:, :, 2]) + quads[:, :, 1])).astype(jnp.float32)
 
     # Per-frame 864-sample decimated pitch buffers (stride 240).
     bds = _windows(D, 240, PBUF // 2, F)  # [S, F, 864]
@@ -306,23 +387,29 @@ def _pitch_index(params, state, ext: jnp.ndarray, F: int):
     bds = bds.at[:, :, 0].set(b0)
 
     # --- pitch_search: coarse at /4 of full rate --------------------------
-    x4 = bds[..., PMAX // 2:: 2][..., : PFRAME >> 2]  # [S, F, 240]
-    y4 = bds[..., ::2][..., : ((PFRAME + (PMAX - 3 * PMIN)) >> 2)]  # [S, F, 387]
-    xc4 = _xcorr_fft(x4, y4, 512, _COARSE_LAGS)  # [S, F, 147]
-    syy4 = jnp.maximum(1.0, 1.0 + _sliding_energy(y4, PFRAME >> 2, _COARSE_LAGS))
-    ratio4 = jnp.where(xc4 > 0, (xc4 * xc4) / syy4, jnp.float32(-np.inf))
+    x4 = _windows(D2[:, (PMAX >> 2):], 120, PFRAME >> 2, F)  # [S, F, 240]
+    y4 = _windows(D2, 120, (PFRAME + (PMAX - 3 * PMIN)) >> 2, F)  # [S, F, 387]
+    y4 = y4.at[:, :, 0].set(b0)  # y4[0] = bds[0] (per-frame edge fix)
+    xc4 = _cross_corr(params, x4, y4, "x4", "y4", "c4", _COARSE_LAGS)
+    syy4 = jnp.maximum(
+        1.0, 1.0 + jnp.einsum("...n,ni->...i", y4 * y4, params["esw_4"], precision=_HIGH)
+    )
+    neg = jnp.float32(-1e30)
+    ratio4 = jnp.where(xc4 > 0, (xc4 * xc4) / syy4, neg)
     best4, second4 = _top2(ratio4, xc4 > 0)
 
-    # --- fine stage at /2 of full rate -------------------------------------
+    # --- fine stage + remove_doubling share one cross-correlation ----------
     x2 = bds[..., PMAX // 2:]  # [S, F, 480]
-    xc2_raw = _xcorr_fft(x2, bds, 1024, _FINE_LAGS)  # [S, F, 294]
+    cc = _cross_corr(params, x2, bds, "x2", "y2", "c2", _RD_MAXP + 1)  # [S,F,385]
+    energies = jnp.einsum("...n,ni->...i", bds * bds, params["esw_fine"], precision=_HIGH)
+    xc2_raw = cc[..., :_FINE_LAGS]
     lags2 = jnp.arange(_FINE_LAGS, dtype=jnp.int32)
     near = (jnp.abs(lags2 - 2 * best4[..., None]) <= 2) | (
         jnp.abs(lags2 - 2 * second4[..., None]) <= 2
     )
     xc2 = jnp.where(near, jnp.maximum(-1.0, xc2_raw), 0.0)
-    syy2 = jnp.maximum(1.0, 1.0 + _sliding_energy(bds, PFRAME >> 1, _FINE_LAGS))
-    ratio2 = jnp.where(xc2 > 0, (xc2 * xc2) / syy2, jnp.float32(-np.inf))
+    syy2 = jnp.maximum(1.0, 1.0 + energies[..., :_FINE_LAGS])
+    ratio2 = jnp.where(xc2 > 0, (xc2 * xc2) / syy2, neg)
     best2, _ = _top2(ratio2, xc2 > 0)
 
     # Pseudo-interpolation around the fine winner.
@@ -337,18 +424,11 @@ def _pitch_index(params, state, ext: jnp.ndarray, F: int):
     pitch0 = 2 * best2 - offs  # full-rate period from pitch_search
     T0 = jnp.minimum((PMAX - pitch0) // 2, _RD_MAXP - 1)  # half-rate, clamped
 
-    # --- remove_doubling: frame-parallel correlations ----------------------
-    u = bds  # [S, F, 864] half-rate buffer
-    v = bds[..., _RD_MAXP:]  # [S, F, 480] the analysis segment
+    # --- remove_doubling: everything per-candidate, frame-parallel ---------
+    v = x2  # [S, F, 480] the analysis segment
     xx = jnp.sum(v * v, axis=-1)
-    # corr[T] = sum_j v[j] * u[384 - T + j]; cross-corr then index-flip.
-    cross = _xcorr_fft(v, u, 1024, _RD_MAXP + 1)  # [.., s] s = 384-T
-    corr = jnp.flip(cross, axis=-1)  # [.., T] for T in 0..384
-    yyl = jnp.maximum(0.0, jnp.flip(_sliding_energy(u, _RD_N, _RD_MAXP + 1), axis=-1))
-
-    xy_T0 = jnp.take_along_axis(corr, T0[..., None], axis=-1)[..., 0]
-    yy_T0 = jnp.take_along_axis(yyl, T0[..., None], axis=-1)[..., 0]
-    g0 = xy_T0 / jnp.sqrt(1.0 + xx * yy_T0)
+    corr = jnp.flip(cc, axis=-1)  # corr[T] = cc[384 - T], T in 0..384
+    yyl = jnp.maximum(0.0, energies[..., _FINE_LAGS:])  # already T-indexed
 
     ks = jnp.arange(2, 16, dtype=jnp.int32)  # [14]
     T0k = T0[..., None]
@@ -356,23 +436,67 @@ def _pitch_index(params, state, ext: jnp.ndarray, F: int):
     sc = jnp.take(params["second_check"], ks)
     T1b_k2 = jnp.where(T0k + T1 > _RD_MAXP, T0k, T0k + T1)
     T1b = jnp.where(ks == 2, T1b_k2, (2 * sc * T0k + ks) // (2 * ks))
-    xy1 = jnp.take_along_axis(corr, T1, axis=-1)
-    xy2 = jnp.take_along_axis(corr, T1b, axis=-1)
-    xy_k = 0.5 * (xy1 + xy2)
-    yy_k = 0.5 * (jnp.take_along_axis(yyl, T1, axis=-1) + jnp.take_along_axis(yyl, T1b, axis=-1))
-    g1 = xy_k / jnp.sqrt(1.0 + xx[..., None] * yy_k)
+    # Candidate axis: index 0 = "keep T0", 1.. = subharmonics k=2..15.
+    T_cand = jnp.concatenate([T0k, T1], axis=-1)  # [S, F, 15]
+    Tb_cand = jnp.concatenate([T0k, T1b], axis=-1)
+    xy_cand = 0.5 * (
+        jnp.take_along_axis(corr, T_cand, axis=-1)
+        + jnp.take_along_axis(corr, Tb_cand, axis=-1)
+    )
+    yy_cand = 0.5 * (
+        jnp.take_along_axis(yyl, T_cand, axis=-1)
+        + jnp.take_along_axis(yyl, Tb_cand, axis=-1)
+    )
+    # Candidate 0 averages (T0, T0) with itself — exactly xy(T0), yy(T0).
+    g_cand = xy_cand / jnp.sqrt(1.0 + xx[..., None] * yy_cand)
+    g0 = g_cand[..., 0]
     valid = jnp.cumprod((T1 >= _RD_MINP).astype(jnp.int32), axis=-1).astype(bool)
 
-    # --- sequential continuation scan over frames --------------------------
+    # Per-candidate refinement (offset interpolation + gain), all parallel.
+    tidx = T_cand[..., None] + jnp.arange(-1, 2)  # [S, F, 15, 3]
+    xc3 = jnp.take_along_axis(
+        corr[..., None, :], jnp.clip(tidx, 0, _RD_MAXP), axis=-1
+    )
+    off = jnp.where(
+        xc3[..., 2] - xc3[..., 0] > 0.7 * (xc3[..., 1] - xc3[..., 0]), 1,
+        jnp.where(xc3[..., 0] - xc3[..., 2] > 0.7 * (xc3[..., 1] - xc3[..., 2]), -1, 0),
+    )
+    best_xy = jnp.maximum(0.0, xy_cand)
+    pg_cand = jnp.where(yy_cand <= best_xy, 1.0, best_xy / (yy_cand + 1.0))
+    pg_cand = jnp.minimum(pg_cand, g_cand)
+    Tout_cand = jnp.maximum(2 * T_cand + off, PMIN).astype(jnp.int32)  # [S, F, 15]
+
+    # --- sequential continuation scan (pure elementwise, no gathers) -------
+    # All per-frame inputs pack into ONE array so the scan does a single
+    # dynamic-slice per step (7 separate xs cost ~7 ms/block in slice fusions).
+    ksf = ks.astype(jnp.float32)
+    packed = jnp.concatenate(
+        [
+            T1.astype(jnp.float32),  # [..., 0:14]   (ints <= 384: exact in f32)
+            g_cand[..., 1:],  # [..., 14:28]
+            valid.astype(jnp.float32),  # [..., 28:42]
+            g0[..., None],  # [..., 42]
+            T0.astype(jnp.float32)[..., None],  # [..., 43]
+            Tout_cand.astype(jnp.float32),  # [..., 44:59]
+            pg_cand,  # [..., 59:74]
+        ],
+        axis=-1,
+    )  # [S, F, 74]
+
     def rd_step(carry, inp):
-        prev_T, prev_g = carry  # [S] full-rate period, gain
-        (T1_f, g1_f, valid_f, g0_f, T0_f, xy_k_f, yy_k_f, xyT0_f, yyT0_f,
-         corr_f) = inp
-        pph = prev_T // 2
+        prev_T, prev_g = carry  # [S] full-rate period (f32, exact), gain
+        T1_f = inp[:, 0:14]
+        g1_f = inp[:, 14:28]
+        valid_f = inp[:, 28:42] > 0.5
+        g0_f = inp[:, 42]
+        T0_f = inp[:, 43]
+        Tout_f = inp[:, 44:59]
+        pg_f = inp[:, 59:74]
+        pph = jnp.floor(prev_T * 0.5)  # prev_T // 2 on exact small ints
         dT = jnp.abs(T1_f - pph[:, None])
         cont = jnp.where(
             dT <= 1, prev_g[:, None],
-            jnp.where((dT <= 2) & (5 * ks * ks < T0_f[:, None]), 0.5 * prev_g[:, None], 0.0),
+            jnp.where((dT <= 2) & (5.0 * ksf * ksf < T0_f[:, None]), 0.5 * prev_g[:, None], 0.0),
         )
         thresh = jnp.maximum(0.3, 0.7 * g0_f[:, None] - cont)
         thresh = jnp.where(
@@ -381,34 +505,21 @@ def _pitch_index(params, state, ext: jnp.ndarray, F: int):
         )
         choose = valid_f & (g1_f > thresh)
         kidx = jnp.max(jnp.where(choose, jnp.arange(14), -1), axis=-1)  # last winner
-        any_k = kidx >= 0
-        kidx_c = jnp.maximum(kidx, 0)[:, None]
-        T_sel = jnp.where(any_k, jnp.take_along_axis(T1_f, kidx_c, axis=-1)[:, 0], T0_f)
-        xy_sel = jnp.where(any_k, jnp.take_along_axis(xy_k_f, kidx_c, axis=-1)[:, 0], xyT0_f)
-        yy_sel = jnp.where(any_k, jnp.take_along_axis(yy_k_f, kidx_c, axis=-1)[:, 0], yyT0_f)
-        g_sel = jnp.where(any_k, jnp.take_along_axis(g1_f, kidx_c, axis=-1)[:, 0], g0_f)
-        best_xy = jnp.maximum(0.0, xy_sel)
-        pg = jnp.where(yy_sel <= best_xy, 1.0, best_xy / (yy_sel + 1.0))
-        tidx = T_sel[:, None] + jnp.arange(-1, 2)  # [S, 3]
-        xc3 = jnp.take_along_axis(corr_f, jnp.clip(tidx, 0, _RD_MAXP), axis=-1)
-        off = jnp.where(
-            xc3[:, 2] - xc3[:, 0] > 0.7 * (xc3[:, 1] - xc3[:, 0]), 1,
-            jnp.where(xc3[:, 0] - xc3[:, 2] > 0.7 * (xc3[:, 1] - xc3[:, 2]), -1, 0),
-        )
-        pg = jnp.minimum(pg, g_sel)
-        T_out = jnp.maximum(2 * T_sel + off, PMIN).astype(jnp.int32)
-        return (T_out, pg), (T_out, pg)
+        sel = jax.nn.one_hot(kidx + 1, 15, dtype=jnp.float32)  # [S, 15]; 0 = T0
+        T_out = jnp.sum(sel * Tout_f, axis=-1)
+        pg = jnp.sum(sel * pg_f, axis=-1)
+        return (T_out, pg), T_out
 
-    def tmaj(a):
-        return jnp.moveaxis(a, 1, 0)  # [S, F, ...] → [F, S, ...]
-
-    (lp, lg), (pitch_idx, _pg) = lax.scan(
+    (lp, lg), pitch_idx = lax.scan(
         rd_step,
-        (state["last_period"], state["last_gain"]),
-        (tmaj(T1), tmaj(g1), tmaj(valid), tmaj(g0), tmaj(T0), tmaj(xy_k),
-         tmaj(yy_k), tmaj(xy_T0), tmaj(yy_T0), tmaj(corr)),
+        (state["last_period"].astype(jnp.float32), state["last_gain"]),
+        jnp.moveaxis(packed, 1, 0),
     )
-    return jnp.moveaxis(pitch_idx, 0, 1), lp, lg  # [S, F], [S], [S]
+    return (
+        jnp.moveaxis(pitch_idx, 0, 1).astype(jnp.int32),
+        lp.astype(jnp.int32),
+        lg,
+    )  # [S, F], [S], [S]
 
 
 # ---------------------------------------------------------------------------
@@ -534,7 +645,7 @@ def _nn_scan(params, state, feats: jnp.ndarray, silence: jnp.ndarray):
 
     def step(carry, inp):
         vad_s, noi_s, den_s, lastg = carry
-        f, sil = inp  # [S, 42], [S]
+        f, sil = inp[:, :42], inp[:, 42] > 0.5  # packed xs: one slice per step
         keep = sil[:, None]
         dense = _tansig(table, jnp.dot(f, params["input_dense.w"], precision=_HIGH)
                         + params["input_dense.b"])
@@ -556,8 +667,9 @@ def _nn_scan(params, state, feats: jnp.ndarray, silence: jnp.ndarray):
         return (vad_s2, noi_s2, den_s2, lastg2), (graw, gs, vad_out)
 
     init = (state["gru_vad"], state["gru_noise"], state["gru_denoise"], state["lastg"])
+    packed = jnp.concatenate([feats, silence[..., None].astype(jnp.float32)], axis=-1)
     (vad_f, noi_f, den_f, lastg_f), (graw, gsmooth, vad) = lax.scan(
-        step, init, (jnp.moveaxis(feats, 1, 0), silence.T)
+        step, init, jnp.moveaxis(packed, 1, 0)
     )
     outs = tuple(jnp.moveaxis(a, 0, 1) for a in (graw, gsmooth, vad))
     return outs, {"gru_vad": vad_f, "gru_noise": noi_f, "gru_denoise": den_f, "lastg": lastg_f}
@@ -590,13 +702,12 @@ def denoise_block(params, state, block: jnp.ndarray):
     state["last_period"], state["last_gain"] = lp, lg
 
     # Pitch-delayed window: ext[1 + f*480 + 1728 - 960 - idx : +960] — a
-    # contiguous dynamic slice per frame (fast TPU lowering, unlike a
-    # per-element gather).
+    # contiguous slice per frame; the Pallas DMA kernel avoids XLA's
+    # per-element gather lowering.
+    from .pallas_ops import pitch_window_gather
+
     starts = 1 + jnp.arange(F, dtype=jnp.int32)[None, :] * FRAME + (PBUF - WIN) - pitch_idx
-    pwin = jax.vmap(
-        jax.vmap(lambda e, s: lax.dynamic_slice(e, (s,), (WIN,)), in_axes=(None, 0)),
-        in_axes=(0, 0),
-    )(ext, starts)  # [S, F, 960]
+    pwin = pitch_window_gather(ext, starts)  # [S, F, 960]
     Pr, Pi = _spectrum(params, pwin)
     Ep = _band_energy(params, Pr, Pi)
     Exp = _band_corr(params, Xr, Xi, Pr, Pi) / jnp.sqrt(0.001 + Ex * Ep)
