@@ -1,0 +1,71 @@
+"""Whisper family: JAX encoder-decoder + KV-cached greedy decoding.
+
+Replaces the reference's whisper.cpp engine (managers/transcription.rs:124).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .model import CONFIGS, WhisperConfig, decode_logits, encode, greedy_decode
+from .tokenizer import WhisperTokenizer
+from .weights import from_hf_state_dict, init_random, load_ggml, load_hf
+
+
+class WhisperModel:
+    """Bundled params + config + tokenizer with a batched transcribe API."""
+
+    def __init__(self, params, cfg: WhisperConfig, tokenizer: WhisperTokenizer,
+                 name: str = "whisper"):
+        import jax.numpy as jnp
+
+        self.params = {k: jnp.asarray(v) for k, v in params.items()}
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.name = name
+
+    # -- constructors ---------------------------------------------------------
+    @staticmethod
+    def from_ggml(path, name: Optional[str] = None) -> "WhisperModel":
+        params, cfg, vocab, _filters = load_ggml(path)
+        tok = WhisperTokenizer.from_ggml_vocab(vocab, cfg.n_vocab)
+        return WhisperModel(params, cfg, tok, name or Path(path).stem)
+
+    @staticmethod
+    def from_hf(path, name: Optional[str] = None) -> "WhisperModel":
+        params, cfg = load_hf(path)
+        tok = WhisperTokenizer.from_hf_dir(path)
+        return WhisperModel(params, cfg, tok, name or Path(path).name)
+
+    @staticmethod
+    def random(size: str = "test-random", seed: int = 0) -> "WhisperModel":
+        cfg = CONFIGS[size]
+        return WhisperModel(init_random(cfg, seed), cfg,
+                            WhisperTokenizer.dummy(cfg.n_vocab), f"random-{size}")
+
+    # -- inference -------------------------------------------------------------
+    def transcribe_chunks(
+        self,
+        audio_16k: np.ndarray,
+        language: str = "en",
+        max_new: int = 224,
+    ) -> List[str]:
+        """audio [B, T<=480000] 16 kHz chunks → one text per chunk (batched)."""
+        import jax.numpy as jnp
+
+        from ...dsp.mel import log_mel_spectrogram
+
+        a = np.atleast_2d(np.asarray(audio_16k, dtype=np.float32))
+        mel = log_mel_spectrogram(jnp.asarray(a), n_mels=self.cfg.n_mels,
+                                  pad_to_chunk=True)
+        tok = self.tokenizer
+        sot = tok.sot_sequence(language=language)
+        prompt = jnp.asarray(np.tile(np.array(sot, np.int32), (a.shape[0], 1)))
+        tokens, lengths = greedy_decode(
+            self.params, self.cfg, mel, prompt, max_new=max_new, eot=tok.eot
+        )
+        tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+        return [tok.decode(tokens[b, : lengths[b]]) for b in range(a.shape[0])]

@@ -1,0 +1,274 @@
+"""Whisper encoder-decoder in pure JAX with KV-cached greedy decoding.
+
+Replaces the reference's whisper.cpp path (transcribe-rs WhisperEngine,
+src-tauri/src/managers/transcription.rs:124-131) with a TPU-native
+implementation of the public Whisper architecture:
+
+  encoder: conv1(k3,s1) → gelu → conv2(k3,s2) → gelu → +sinusoid positions
+           → pre-LN transformer blocks → ln_post          (mel [80,3000] → [1500,d])
+  decoder: token emb + learned positions → pre-LN blocks with causal
+           self-attn + cross-attn → ln → logits = x @ emb.T
+
+Attention uses Whisper's qk scaling (each of q, k scaled by d_head^-0.25).
+Decoding is batched greedy with a static-length lax.scan over steps and a
+preallocated KV cache — fixed shapes end to end, one compilation per
+(batch, max_len).
+
+Parameters are a flat dict of jnp arrays; see weights.py for HF / ggml
+import and init_random for tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+@dataclass(frozen=True)
+class WhisperConfig:
+    n_mels: int = 80
+    n_vocab: int = 51865
+    n_audio_ctx: int = 1500
+    n_audio_state: int = 384
+    n_audio_head: int = 6
+    n_audio_layer: int = 4
+    n_text_ctx: int = 448
+    n_text_state: int = 384
+    n_text_head: int = 6
+    n_text_layer: int = 4
+    # special tokens (multilingual layout by default)
+    eot: int = 50257
+    sot: int = 50258
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_audio_state // self.n_audio_head
+
+
+CONFIGS: Dict[str, WhisperConfig] = {
+    "tiny": WhisperConfig(80, 51865, 1500, 384, 6, 4, 448, 384, 6, 4),
+    "tiny.en": WhisperConfig(80, 51864, 1500, 384, 6, 4, 448, 384, 6, 4, 50256, 50257),
+    "base": WhisperConfig(80, 51865, 1500, 512, 8, 6, 448, 512, 8, 6),
+    "base.en": WhisperConfig(80, 51864, 1500, 512, 8, 6, 448, 512, 8, 6, 50256, 50257),
+    "small": WhisperConfig(80, 51865, 1500, 768, 12, 12, 448, 768, 12, 12),
+    "small.en": WhisperConfig(80, 51864, 1500, 768, 12, 12, 448, 768, 12, 12, 50256, 50257),
+    "medium": WhisperConfig(80, 51865, 1500, 1024, 16, 24, 448, 1024, 16, 24),
+    "large-v2": WhisperConfig(80, 51865, 1500, 1280, 20, 32, 448, 1280, 20, 32),
+    "large-v3": WhisperConfig(128, 51866, 1500, 1280, 20, 32, 448, 1280, 20, 32),
+    "test-random": WhisperConfig(80, 1000, 1500, 64, 2, 2, 448, 64, 2, 2, 999, 998),
+}
+
+
+def sinusoids(length: int, channels: int) -> np.ndarray:
+    """Whisper's encoder positional encoding."""
+    log_timescale = np.log(10000.0) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    t = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(t), np.cos(t)], axis=1).astype(np.float32)
+
+
+def _ln(x, g, b, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * lax.rsqrt(var + eps) * g + b
+
+
+def _heads(x, n_head):  # [.., T, D] -> [.., n_head, T, hd]
+    *b, T, D = x.shape
+    return x.reshape(*b, T, n_head, D // n_head).swapaxes(-3, -2)
+
+
+def _merge(x):  # [.., H, T, hd] -> [.., T, D]
+    *b, H, T, hd = x.shape
+    return x.swapaxes(-3, -2).reshape(*b, T, H * hd)
+
+
+def _attn(q, k, v, mask=None):
+    """q,k,v: [.., H, T, hd]; Whisper scales q and k by hd^-0.25 each."""
+    scale = (q.shape[-1]) ** -0.25
+    logits = jnp.einsum("...hqd,...hkd->...hqk", q * scale, k * scale)
+    if mask is not None:
+        logits = logits + mask
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("...hqk,...hkd->...hqd", w, v)
+
+
+def _mha(p, prefix, x, xa=None, mask=None, n_head=None):
+    """Standard block attention (no cache). xa = cross-attn memory."""
+    q = jnp.einsum("...td,de->...te", x, p[f"{prefix}.q.w"]) + p[f"{prefix}.q.b"]
+    src = x if xa is None else xa
+    k = jnp.einsum("...td,de->...te", src, p[f"{prefix}.k.w"])  # no bias (Whisper)
+    v = jnp.einsum("...td,de->...te", src, p[f"{prefix}.v.w"]) + p[f"{prefix}.v.b"]
+    o = _attn(_heads(q, n_head), _heads(k, n_head), _heads(v, n_head), mask)
+    return jnp.einsum("...td,de->...te", _merge(o), p[f"{prefix}.out.w"]) + p[f"{prefix}.out.b"]
+
+
+def _mlp(p, prefix, x):
+    h = jax.nn.gelu(jnp.einsum("...td,de->...te", x, p[f"{prefix}.fc1.w"]) + p[f"{prefix}.fc1.b"],
+                    approximate=False)
+    return jnp.einsum("...td,de->...te", h, p[f"{prefix}.fc2.w"]) + p[f"{prefix}.fc2.b"]
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def encode(params: Dict[str, jnp.ndarray], cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
+    """mel [B, n_mels, 3000] → audio features [B, 1500, d]."""
+    x = mel.swapaxes(-1, -2)  # [B, T, n_mels]
+    # conv1: kernel 3, stride 1; conv2: stride 2. Torch-style symmetric
+    # padding=1 (XLA "SAME" pads stride-2 convs asymmetrically). w: [3, in, out]
+    x = lax.conv_general_dilated(
+        x, params["enc.conv1.w"], (1,), [(1, 1)], dimension_numbers=("NHC", "HIO", "NHC")
+    ) + params["enc.conv1.b"]
+    x = jax.nn.gelu(x, approximate=False)
+    x = lax.conv_general_dilated(
+        x, params["enc.conv2.w"], (2,), [(1, 1)], dimension_numbers=("NHC", "HIO", "NHC")
+    ) + params["enc.conv2.b"]
+    x = jax.nn.gelu(x, approximate=False)
+    x = x + params["enc.pos"]
+    for i in range(cfg.n_audio_layer):
+        pre = f"enc.{i}"
+        x = x + _mha(params, f"{pre}.attn",
+                     _ln(x, params[f"{pre}.ln1.g"], params[f"{pre}.ln1.b"]),
+                     n_head=cfg.n_audio_head)
+        x = x + _mlp(params, f"{pre}.mlp",
+                     _ln(x, params[f"{pre}.ln2.g"], params[f"{pre}.ln2.b"]))
+    return _ln(x, params["enc.ln_post.g"], params["enc.ln_post.b"])
+
+
+# ---------------------------------------------------------------------------
+# Decoder (full-sequence teacher-forced + cached single-step)
+# ---------------------------------------------------------------------------
+
+def decode_logits(params, cfg: WhisperConfig, tokens: jnp.ndarray, audio: jnp.ndarray) -> jnp.ndarray:
+    """Teacher-forced logits: tokens [B, T] int32, audio [B, 1500, d] → [B, T, V]."""
+    B, T = tokens.shape
+    x = params["dec.emb"][tokens] + params["dec.pos"][:T]
+    mask = jnp.triu(jnp.full((T, T), -jnp.inf, jnp.float32), k=1)
+    for i in range(cfg.n_text_layer):
+        pre = f"dec.{i}"
+        x = x + _mha(params, f"{pre}.attn",
+                     _ln(x, params[f"{pre}.ln1.g"], params[f"{pre}.ln1.b"]),
+                     mask=mask, n_head=cfg.n_text_head)
+        x = x + _mha(params, f"{pre}.cross",
+                     _ln(x, params[f"{pre}.lnx.g"], params[f"{pre}.lnx.b"]),
+                     xa=audio, n_head=cfg.n_text_head)
+        x = x + _mlp(params, f"{pre}.mlp",
+                     _ln(x, params[f"{pre}.ln2.g"], params[f"{pre}.ln2.b"]))
+    x = _ln(x, params["dec.ln.g"], params["dec.ln.b"])
+    return jnp.einsum("btd,vd->btv", x, params["dec.emb"])
+
+
+def _init_cache(params, cfg: WhisperConfig, audio: jnp.ndarray, max_len: int):
+    """Preallocate self-attn KV [L, B, H, max_len, hd]; precompute cross KV."""
+    B = audio.shape[0]
+    hd = cfg.n_text_state // cfg.n_text_head
+    self_k = jnp.zeros((cfg.n_text_layer, B, cfg.n_text_head, max_len, hd), jnp.float32)
+    self_v = jnp.zeros_like(self_k)
+    cross_k, cross_v = [], []
+    for i in range(cfg.n_text_layer):
+        pre = f"dec.{i}.cross"
+        k = jnp.einsum("btd,de->bte", audio, params[f"{pre}.k.w"])
+        v = jnp.einsum("btd,de->bte", audio, params[f"{pre}.v.w"]) + params[f"{pre}.v.b"]
+        cross_k.append(_heads(k, cfg.n_text_head))
+        cross_v.append(_heads(v, cfg.n_text_head))
+    return self_k, self_v, jnp.stack(cross_k), jnp.stack(cross_v)
+
+
+def _decode_step(params, cfg: WhisperConfig, tok, pos, self_k, self_v, cross_k, cross_v, max_len):
+    """One cached decoder step. tok [B] int32, pos scalar int32 → logits [B, V]."""
+    x = params["dec.emb"][tok][:, None, :] + lax.dynamic_slice_in_dim(params["dec.pos"], pos, 1)
+    hd = cfg.n_text_state // cfg.n_text_head
+    pos_mask = (jnp.arange(max_len) <= pos)[None, None, None, :]
+    neg = jnp.float32(-1e30)
+    for i in range(cfg.n_text_layer):
+        pre = f"dec.{i}"
+        h = _ln(x, params[f"{pre}.ln1.g"], params[f"{pre}.ln1.b"])
+        q = jnp.einsum("btd,de->bte", h, params[f"{pre}.attn.q.w"]) + params[f"{pre}.attn.q.b"]
+        k = jnp.einsum("btd,de->bte", h, params[f"{pre}.attn.k.w"])
+        v = jnp.einsum("btd,de->bte", h, params[f"{pre}.attn.v.w"]) + params[f"{pre}.attn.v.b"]
+        kh = _heads(k, cfg.n_text_head)[:, :, 0, :]  # [B, H, hd]
+        vh = _heads(v, cfg.n_text_head)[:, :, 0, :]
+        self_k = self_k.at[i, :, :, pos, :].set(kh)
+        self_v = self_v.at[i, :, :, pos, :].set(vh)
+        qh = _heads(q, cfg.n_text_head)  # [B, H, 1, hd]
+        scale = hd ** -0.25
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, self_k[i] * scale)
+        logits = jnp.where(pos_mask, logits, neg)
+        w = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", w, self_v[i])
+        x = x + jnp.einsum("btd,de->bte", _merge(o), params[f"{pre}.attn.out.w"]) + params[f"{pre}.attn.out.b"]
+
+        h = _ln(x, params[f"{pre}.lnx.g"], params[f"{pre}.lnx.b"])
+        q = jnp.einsum("btd,de->bte", h, params[f"{pre}.cross.q.w"]) + params[f"{pre}.cross.q.b"]
+        o = _attn(_heads(q, cfg.n_text_head), cross_k[i], cross_v[i])
+        x = x + jnp.einsum("btd,de->bte", _merge(o), params[f"{pre}.cross.out.w"]) + params[f"{pre}.cross.out.b"]
+
+        x = x + _mlp(params, f"{pre}.mlp",
+                     _ln(x, params[f"{pre}.ln2.g"], params[f"{pre}.ln2.b"]))
+    x = _ln(x, params["dec.ln.g"], params["dec.ln.b"])
+    return jnp.einsum("btd,vd->btv", x, params["dec.emb"])[:, 0, :], self_k, self_v
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new", "suppress_blank"))
+def greedy_decode(
+    params,
+    cfg: WhisperConfig,
+    mel_or_audio: jnp.ndarray,
+    prompt: jnp.ndarray,
+    max_new: int = 224,
+    eot: Optional[int] = None,
+    suppress_blank: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched greedy decode.
+
+    prompt [B, P] (the SOT sequence); returns (tokens [B, max_new], lengths
+    [B]). Decoding runs a static-length scan with EOS freezing: finished
+    rows keep emitting eot.
+    """
+    audio = mel_or_audio
+    if audio.shape[-2] == cfg.n_mels:  # raw mel given
+        audio = encode(params, cfg, audio)
+    B, P = prompt.shape
+    eot_id = cfg.eot if eot is None else eot
+    max_len = P + max_new
+    self_k, self_v, cross_k, cross_v = _init_cache(params, cfg, audio, max_len)
+
+    # Prefill the prompt one position at a time (P is small and static).
+    logits = None
+    for p_i in range(P):
+        logits, self_k, self_v = _decode_step(
+            params, cfg, prompt[:, p_i], jnp.int32(p_i), self_k, self_v,
+            cross_k, cross_v, max_len,
+        )
+
+    def pick(logits):
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    first = pick(logits)
+
+    def step(carry, i):
+        tok, done, self_k, self_v = carry
+        logits, self_k, self_v = _decode_step(
+            params, cfg, tok, P + i, self_k, self_v, cross_k, cross_v, max_len
+        )
+        nxt = pick(logits)
+        nxt = jnp.where(done, eot_id, nxt)
+        done = done | (nxt == eot_id)
+        return (nxt, done, self_k, self_v), tok
+
+    done0 = first == eot_id
+    (last, done, _, _), toks = lax.scan(
+        step, (first, done0, self_k, self_v), jnp.arange(max_new - 1)
+    )
+    tokens = jnp.concatenate([jnp.moveaxis(toks, 0, 1), last[:, None]], axis=1)
+    lengths = jnp.argmax(tokens == eot_id, axis=1)
+    lengths = jnp.where(jnp.any(tokens == eot_id, axis=1), lengths, max_new)
+    return tokens, lengths

@@ -1,0 +1,204 @@
+"""Whisper JAX model: architecture parity vs transformers (random weights,
+fully offline), KV-cache correctness, loaders, tokenizer, end-to-end shape."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from crispy_tpu.models.whisper import WhisperModel
+from crispy_tpu.models.whisper.model import CONFIGS, decode_logits, encode, greedy_decode
+from crispy_tpu.models.whisper.tokenizer import LANGUAGES, WhisperTokenizer
+from crispy_tpu.models.whisper.weights import from_hf_state_dict, init_random, load_ggml
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    """Tiny random transformers Whisper + our mapped params."""
+    torch = pytest.importorskip("torch")
+    from transformers import WhisperConfig as HFConfig, WhisperForConditionalGeneration
+
+    hf_cfg = HFConfig(
+        vocab_size=207, num_mel_bins=80, d_model=64,
+        encoder_layers=2, encoder_attention_heads=2,
+        decoder_layers=2, decoder_attention_heads=2,
+        encoder_ffn_dim=256, decoder_ffn_dim=256,
+        max_source_positions=1500, max_target_positions=448,
+        pad_token_id=206, bos_token_id=205, eos_token_id=206,
+        decoder_start_token_id=205, suppress_tokens=None, begin_suppress_tokens=None,
+    )
+    torch.manual_seed(0)
+    hf = WhisperForConditionalGeneration(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params, cfg = from_hf_state_dict(sd)
+    return hf, params, cfg
+
+
+class TestHFParity:
+    def test_encoder_matches_transformers(self, hf_pair):
+        import torch
+
+        hf, params, cfg = hf_pair
+        rng = np.random.default_rng(0)
+        mel = rng.standard_normal((2, 80, 3000)).astype(np.float32)
+        with torch.no_grad():
+            want = hf.model.encoder(torch.tensor(mel)).last_hidden_state.numpy()
+        got = np.asarray(encode(params, cfg, mel))
+        np.testing.assert_allclose(got, want, atol=3e-3)
+
+    def test_decoder_logits_match_transformers(self, hf_pair):
+        import torch
+
+        hf, params, cfg = hf_pair
+        rng = np.random.default_rng(1)
+        mel = rng.standard_normal((2, 80, 3000)).astype(np.float32)
+        toks = rng.integers(0, 200, size=(2, 7)).astype(np.int32)
+        with torch.no_grad():
+            want = hf(
+                input_features=torch.tensor(mel),
+                decoder_input_ids=torch.tensor(toks.astype(np.int64)),
+            ).logits.numpy()
+        audio = encode(params, cfg, mel)
+        got = np.asarray(decode_logits(params, cfg, toks, audio))
+        np.testing.assert_allclose(got, want, atol=3e-2)  # logits scale ~10
+
+    def test_greedy_matches_transformers_generate(self, hf_pair):
+        import torch
+
+        hf, params, cfg = hf_pair
+        rng = np.random.default_rng(2)
+        mel = rng.standard_normal((1, 80, 3000)).astype(np.float32)
+        prompt = np.array([[1, 2]], np.int32)
+        with torch.no_grad():
+            want = hf.generate(
+                input_features=torch.tensor(mel),
+                decoder_input_ids=torch.tensor(prompt.astype(np.int64)),
+                max_new_tokens=10, do_sample=False, num_beams=1,
+                eos_token_id=206, pad_token_id=206, use_cache=True,
+            ).numpy()[0]
+        toks, lengths = greedy_decode(params, cfg, mel, prompt, max_new=10, eot=206)
+        got = np.asarray(toks)[0]
+        n = min(len(want) - 2, int(np.asarray(lengths)[0]) + 1, 10)
+        np.testing.assert_array_equal(got[:n], want[2: 2 + n])
+
+
+class TestKVCache:
+    def test_cached_greedy_consistent_with_teacher_forcing(self):
+        """Each greedy token must equal the argmax of full-sequence logits at
+        that position — validates the KV cache exactly."""
+        m = WhisperModel.random("test-random", seed=3)
+        rng = np.random.default_rng(3)
+        mel = rng.standard_normal((2, 80, 3000)).astype(np.float32)
+        prompt = np.tile(np.array([[998, 997]], np.int32), (2, 1))
+        toks, _ = greedy_decode(m.params, m.cfg, mel, prompt, max_new=8, eot=999)
+        toks = np.asarray(toks)
+        audio = encode(m.params, m.cfg, mel)
+        full = np.concatenate([prompt, toks], axis=1)
+        logits = np.asarray(decode_logits(m.params, m.cfg, full[:, :-1], audio))
+        want = logits[:, 1:, :].argmax(-1)  # predictions for positions 2..
+        # compare until first eot per row
+        for b in range(2):
+            for t in range(toks.shape[1] - 1):
+                if toks[b, t] == 999:
+                    break
+                assert toks[b, t + 1] == want[b, t + 1], (b, t)
+
+
+class TestGgml:
+    def test_roundtrip_synthetic_file(self, tmp_path):
+        """Write a minimal ggml container and parse it back."""
+        cfg = CONFIGS["test-random"]
+        params = init_random(cfg, seed=1)
+        vocab = [f"tok{i}".encode() for i in range(cfg.n_vocab)]
+        path = tmp_path / "ggml-test.bin"
+        # serialize (the inverse of load_ggml, used only for testing)
+        import numpy as np
+
+        def ggml_name(ours):
+            from crispy_tpu.models.whisper.weights import _GGML_STATIC, _map_ggml_name
+            inv = {v: k for k, v in _GGML_STATIC.items()}
+            if ours in inv:
+                return inv[ours], False
+            # brute-force search through block names
+            for side, pre in (("encoder", "enc"), ("decoder", "dec")):
+                for i in range(2):
+                    for g, o in [
+                        ("attn.query.weight", f"attn.q.w"), ("attn.query.bias", "attn.q.b"),
+                        ("attn.key.weight", "attn.k.w"), ("attn.value.weight", "attn.v.w"),
+                        ("attn.value.bias", "attn.v.b"), ("attn.out.weight", "attn.out.w"),
+                        ("attn.out.bias", "attn.out.b"), ("attn_ln.weight", "ln1.g"),
+                        ("attn_ln.bias", "ln1.b"),
+                        ("cross_attn.query.weight", "cross.q.w"), ("cross_attn.query.bias", "cross.q.b"),
+                        ("cross_attn.key.weight", "cross.k.w"), ("cross_attn.value.weight", "cross.v.w"),
+                        ("cross_attn.value.bias", "cross.v.b"), ("cross_attn.out.weight", "cross.out.w"),
+                        ("cross_attn.out.bias", "cross.out.b"), ("cross_attn_ln.weight", "lnx.g"),
+                        ("cross_attn_ln.bias", "lnx.b"),
+                        ("mlp.0.weight", "mlp.fc1.w"), ("mlp.0.bias", "mlp.fc1.b"),
+                        ("mlp.2.weight", "mlp.fc2.w"), ("mlp.2.bias", "mlp.fc2.b"),
+                        ("mlp_ln.weight", "ln2.g"), ("mlp_ln.bias", "ln2.b"),
+                    ]:
+                        if ours == f"{pre}.{i}.{o}":
+                            return f"{side}.blocks.{i}.{g}", g.endswith("weight") and ".w" in o
+            return None, False
+
+        with open(path, "wb") as f:
+            f.write(struct.pack("<I", 0x67676D6C))
+            f.write(struct.pack("<11i", cfg.n_vocab, cfg.n_audio_ctx, cfg.n_audio_state,
+                                cfg.n_audio_head, cfg.n_audio_layer, cfg.n_text_ctx,
+                                cfg.n_text_state, cfg.n_text_head, cfg.n_text_layer,
+                                cfg.n_mels, 1))
+            filters = np.arange(cfg.n_mels * 201, dtype=np.float32).reshape(cfg.n_mels, 201)
+            f.write(struct.pack("<2i", cfg.n_mels, 201))
+            f.write(filters.tobytes())
+            f.write(struct.pack("<i", len(vocab)))
+            for tok in vocab:
+                f.write(struct.pack("<i", len(tok)))
+                f.write(tok)
+            for ours, arr in params.items():
+                gname, transposed = ggml_name(ours)
+                if gname is None:
+                    continue
+                data = arr.T if transposed else arr
+                dims = tuple(reversed(data.shape))
+                f.write(struct.pack("<3i", len(dims), len(gname.encode()), 0))
+                f.write(struct.pack(f"<{len(dims)}i", *dims))
+                f.write(gname.encode())
+                f.write(np.ascontiguousarray(data, np.float32).tobytes())
+
+        got, gcfg, gvocab, gfilters = load_ggml(path)
+        assert gcfg.n_audio_state == cfg.n_audio_state
+        assert gvocab[5] == b"tok5"
+        np.testing.assert_array_equal(gfilters, filters)
+        for k in got:
+            np.testing.assert_allclose(got[k], params[k], atol=1e-6, err_msg=k)
+        # every mappable param round-tripped
+        assert len(got) == len(params)
+
+
+class TestTokenizer:
+    def test_special_layout_multilingual(self):
+        t = WhisperTokenizer(vocab=[b""] * 51865)
+        assert (t.eot, t.sot) == (50257, 50258)
+        assert t.transcribe == 50359 and t.no_timestamps == 50363
+        assert t.timestamp_begin == 50364
+        assert t.sot_sequence("de") == [50258, 50259 + LANGUAGES.index("de"), 50359, 50363]
+
+    def test_decode_skips_specials_and_timestamps(self):
+        t = WhisperTokenizer(vocab=[b"hel", b"lo", b" wor", b"ld"] + [b""] * 60000)
+        ids = [50258, 0, 1, 2, 3, 50364 + 50, 50257]
+        assert t.decode(ids) == "hello world"
+        assert "<|1.00|>" in t.decode(ids, with_timestamps=True)
+
+    def test_encode_roundtrip_greedy(self):
+        t = WhisperTokenizer(vocab=[b"ab", b"a", b"b", b"c"] + [b""] * 60000)
+        assert t.encode("abc") == [0, 3]
+        assert t.decode(t.encode("abab")) == "abab"
+
+
+def test_transcribe_chunks_end_to_end_shapes():
+    m = WhisperModel.random("test-random", seed=5)
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    texts = m.transcribe_chunks(audio, max_new=6)
+    assert len(texts) == 2
+    assert all(isinstance(t, str) for t in texts)
