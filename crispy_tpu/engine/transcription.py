@@ -1,0 +1,365 @@
+"""File→text transcription pipeline.
+
+Rebuild of the reference's transcription stack (SURVEY §2.3):
+  * TranscriptionManager (managers/transcription.rs:26-249): one loaded
+    engine, current model id, per-recording state map + cancel flags.
+  * run_transcription (commands/transcription.rs:98-481): WAV → mono →
+    16 kHz → 30 s chunks → text, with phase/progress/ETA events,
+    cancellation, diarization hand-off, and result persistence.
+  * Sidecar persistence (managers/transcription.rs:252-361): hash-keyed
+    .txt / .meta / .chat.json under ~/Documents/Crispy/Transcriptions.
+
+TPU-first redesign: the reference transcribes 30 s chunks serially on CPU
+(its throughput bottleneck, SURVEY §2.8); here chunks are *batched* and
+decoded together on the accelerator — long recordings become a batch
+dimension, and progress advances per batch.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from dataclasses import asdict, dataclass
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..api.events import BUS, EventBus
+from ..io import wav as wavio
+from ..models.registry import ModelManager
+from ..utils import paths
+
+TARGET_SAMPLE_RATE = 16000  # commands/transcription.rs:173
+TRANSCRIBE_CHUNK_SECONDS = 30  # :175
+CHUNK_SAMPLES = TARGET_SAMPLE_RATE * TRANSCRIBE_CHUNK_SECONDS
+
+
+# ---------------------------------------------------------------------------
+# Persistence (hash-keyed sidecars)
+# ---------------------------------------------------------------------------
+
+def transcription_file_stem(recording_path: str) -> str:
+    """Stable 16-hex stem from the recording path.
+
+    The reference uses Rust's DefaultHasher (SipHash with an unspecified
+    key); any stable 64-bit hash with the same format works — FNV-1a here.
+    """
+    h = np.uint64(0xCBF29CE484222325)
+    for b in str(recording_path).encode("utf-8"):
+        h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+    return f"{int(h):016x}"
+
+
+def _tdir() -> Path:
+    return paths.ensure_dir(paths.transcriptions_dir())
+
+
+def transcription_result_path(recording_path: str) -> Path:
+    return _tdir() / f"{transcription_file_stem(recording_path)}.txt"
+
+
+def transcription_metadata_path(recording_path: str) -> Path:
+    return _tdir() / f"{transcription_file_stem(recording_path)}.meta"
+
+
+def transcription_chat_history_path(recording_path: str) -> Path:
+    return _tdir() / f"{transcription_file_stem(recording_path)}.chat.json"
+
+
+def save_transcription_result(recording_path: str, text: str) -> None:
+    transcription_result_path(recording_path).write_text(text, encoding="utf-8")
+
+
+def load_transcription_result(recording_path: str) -> Optional[str]:
+    p = transcription_result_path(recording_path)
+    return p.read_text(encoding="utf-8") if p.exists() else None
+
+
+def save_transcription_metadata(recording_path: str, model_id: str) -> None:
+    transcription_metadata_path(recording_path).write_text(
+        json.dumps({"model_id": model_id}), encoding="utf-8"
+    )
+
+
+def load_transcription_metadata(recording_path: str) -> Optional[str]:
+    p = transcription_metadata_path(recording_path)
+    if not p.exists():
+        return None
+    return json.loads(p.read_text(encoding="utf-8")).get("model_id")
+
+
+def save_transcription_chat_history(recording_path: str, messages: List[dict]) -> None:
+    transcription_chat_history_path(recording_path).write_text(
+        json.dumps(messages, indent=2), encoding="utf-8"
+    )
+
+
+def load_transcription_chat_history(recording_path: str) -> List[dict]:
+    p = transcription_chat_history_path(recording_path)
+    if not p.exists():
+        return []
+    return json.loads(p.read_text(encoding="utf-8"))
+
+
+# ---------------------------------------------------------------------------
+# Engine loading
+# ---------------------------------------------------------------------------
+
+class EngineProtocol:
+    """A loaded speech model: batched 30 s chunk transcription."""
+
+    name: str = "engine"
+
+    def transcribe_batch(self, chunks_16k: np.ndarray, language: str = "en") -> List[str]:
+        raise NotImplementedError
+
+    def transcribe_with_timestamps(
+        self, chunk_16k: np.ndarray, offset_seconds: float
+    ) -> List[Tuple[float, float, str]]:
+        """Word segments (start, end, text); default: whole-chunk fallback
+        (managers/transcription.rs:196-249's fallback path)."""
+        text = self.transcribe_batch(chunk_16k[None, :])[0]
+        dur = len(chunk_16k) / TARGET_SAMPLE_RATE
+        return [(offset_seconds, offset_seconds + dur, text)] if text.strip() else []
+
+
+def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
+    """EngineType dispatch (managers/transcription.rs:119-172).
+
+    whisper ggml files and HF checkpoint dirs load into the JAX Whisper;
+    the ONNX-family engines (parakeet/moonshine/gigaam/sensevoice/canary/
+    cohere) load via their JAX ports as they land.
+    """
+    info = model_manager.find(model_id)
+    if info is None:
+        raise ValueError(f"unknown model: {model_id}")
+    path = model_manager.model_path(model_id)
+    if not model_manager.is_downloaded(model_id):
+        raise FileNotFoundError(f"model not downloaded: {model_id}")
+
+    if info.engine_type == "whisper":
+        from ..models.whisper import WhisperModel
+
+        if path.is_dir():
+            wm = WhisperModel.from_hf(path, name=model_id)
+        else:
+            wm = WhisperModel.from_ggml(path, name=model_id)
+
+        class _WhisperEngine(EngineProtocol):
+            name = model_id
+
+            def transcribe_batch(self, chunks, language="en"):
+                return wm.transcribe_chunks(chunks, language=language)
+
+        return _WhisperEngine()
+    raise NotImplementedError(
+        f"engine '{info.engine_type}' not yet implemented in the TPU build"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Manager
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TranscriptionState:
+    status: str
+    progress: float = 0.0
+    eta_seconds: Optional[int] = None
+    phase: Optional[str] = None
+
+
+class TranscriptionManager:
+    """Loaded engine + per-recording state/cancel registry."""
+
+    def __init__(self, model_manager: ModelManager, bus: EventBus = BUS,
+                 engine_loader: Callable = None):
+        self.model_manager = model_manager
+        self.bus = bus
+        self._engine: Optional[EngineProtocol] = None
+        self._current_model_id: Optional[str] = None
+        self._states: Dict[str, TranscriptionState] = {}
+        self._cancel: Dict[str, threading.Event] = {}
+        self._lock = threading.Lock()
+        self._loader = engine_loader or load_engine
+
+    # -- model ------------------------------------------------------------------
+    def get_current_model(self) -> Optional[str]:
+        return self._current_model_id
+
+    def load_model(self, model_id: str) -> None:
+        if self._current_model_id == model_id and self._engine is not None:
+            return
+        self._engine = self._loader(model_id, self.model_manager)
+        self._current_model_id = model_id
+
+    @property
+    def engine(self) -> Optional[EngineProtocol]:
+        return self._engine
+
+    # -- state ------------------------------------------------------------------
+    def set_state(self, recording_path: str, state: TranscriptionState) -> None:
+        with self._lock:
+            self._states[recording_path] = state
+
+    def get_state(self, recording_path: str) -> Optional[TranscriptionState]:
+        with self._lock:
+            return self._states.get(recording_path)
+
+    def get_all_states(self) -> Dict[str, dict]:
+        with self._lock:
+            return {k: asdict(v) for k, v in self._states.items()}
+
+    def create_cancel_flag(self, recording_path: str) -> threading.Event:
+        ev = threading.Event()
+        with self._lock:
+            self._cancel[recording_path] = ev
+        return ev
+
+    def cancel(self, recording_path: str) -> bool:
+        with self._lock:
+            ev = self._cancel.get(recording_path)
+        if ev is not None:
+            ev.set()
+            return True
+        return False
+
+    def remove_cancel_flag(self, recording_path: str) -> None:
+        with self._lock:
+            self._cancel.pop(recording_path, None)
+
+
+# ---------------------------------------------------------------------------
+# The pipeline
+# ---------------------------------------------------------------------------
+
+def run_transcription(
+    recording_path: str,
+    tm: TranscriptionManager,
+    model_id: str,
+    language: str = "en",
+    diarization: Optional[dict] = None,
+    batch_chunks: int = 8,
+) -> Optional[str]:
+    """Blocking transcription of one recording. Returns the final text
+    (None on cancel); raises on errors. Emits the reference's event stream."""
+    bus = tm.bus
+    cancel = tm.create_cancel_flag(recording_path)
+
+    def set_phase(phase: str):
+        tm.set_state(recording_path, TranscriptionState("transcribing", prog[0], None, phase))
+        bus.emit("transcription-phase", {"recording_path": recording_path, "phase": phase})
+
+    prog = [0.0]
+    try:
+        tm.set_state(recording_path, TranscriptionState("started", 0.0, None, "preparing-audio"))
+        bus.emit("transcription-status",
+                 {"recording_path": recording_path, "status": "started", "error": None})
+        set_phase("preparing-audio")
+
+        audio, sr = wavio.read_wav_mono(recording_path)  # channel 0
+        if audio.size == 0:
+            save_transcription_result(recording_path, "")
+            save_transcription_metadata(recording_path, model_id)
+            _finish(tm, bus, recording_path, "completed")
+            return ""
+        total_seconds = audio.size / sr
+
+        set_phase("loading-model")
+        tm.load_model(model_id)
+
+        if sr != TARGET_SAMPLE_RATE:
+            from ..dsp.resample import resample_poly
+
+            audio = resample_poly(audio, sr, TARGET_SAMPLE_RATE)
+        total_out = audio.size
+
+        # 30 s chunks, final partial chunk zero-padded (tail flush,
+        # commands/transcription.rs:347-400).
+        n_chunks = max(1, -(-audio.size // CHUNK_SAMPLES))
+        chunks = np.zeros((n_chunks, CHUNK_SAMPLES), np.float32)
+        flat = audio[: n_chunks * CHUNK_SAMPLES]
+        chunks.reshape(-1)[: flat.size] = flat
+
+        set_phase("transcribing")
+        parts: List[Tuple[float, float, str]] = []
+        start_t = time.monotonic()
+        done_samples = 0
+        for b0 in range(0, n_chunks, batch_chunks):
+            if cancel.is_set():
+                _finish(tm, bus, recording_path, "cancelled")
+                return None
+            batch = chunks[b0: b0 + batch_chunks]
+            texts = tm.engine.transcribe_batch(batch, language=language)
+            for j, text in enumerate(texts):
+                cs = (b0 + j) * TRANSCRIBE_CHUNK_SECONDS
+                if text.strip():
+                    parts.append((cs, min(cs + TRANSCRIBE_CHUNK_SECONDS, total_seconds), text))
+            done_samples = min((b0 + len(texts)) * CHUNK_SAMPLES, total_out)
+            progress = min(1.0, done_samples / max(total_out, 1))
+            done_sec = done_samples / TARGET_SAMPLE_RATE
+            eta = None
+            if done_sec > 0.5:  # ETA from realized rate (:287-299)
+                rate = (time.monotonic() - start_t) / done_sec
+                eta = int(round(max(total_seconds - done_sec, 0.0) * rate))
+            prog[0] = progress
+            tm.set_state(recording_path,
+                         TranscriptionState("transcribing", progress, eta, "transcribing"))
+            bus.emit("transcription-progress",
+                     {"recording_path": recording_path, "progress": progress,
+                      "eta_seconds": eta})
+
+        text = " ".join(t for _, _, t in parts).strip()
+
+        if diarization and diarization.get("enabled"):
+            set_phase("diarizing")
+            try:
+                from . import diarization as dz
+
+                text = dz.run_diarization(
+                    audio, TARGET_SAMPLE_RATE, parts,
+                    model_manager=tm.model_manager,
+                    max_speakers=int(diarization.get("max_speakers", 4)),
+                    merge_gap=float(diarization.get("merge_gap", 1.0)),
+                )
+            except Exception:
+                pass  # diarization failure falls back to the plain transcript
+                      # (commands/transcription.rs:456-465)
+
+        save_transcription_result(recording_path, text)
+        save_transcription_metadata(recording_path, model_id)
+        _finish(tm, bus, recording_path, "completed")
+        return text
+    except Exception as e:
+        tm.set_state(recording_path, TranscriptionState("error", prog[0]))
+        bus.emit("transcription-status",
+                 {"recording_path": recording_path, "status": "error", "error": str(e)})
+        raise
+    finally:
+        tm.remove_cancel_flag(recording_path)
+
+
+def _finish(tm, bus, recording_path, status):
+    tm.set_state(recording_path, TranscriptionState(status, 1.0 if status == "completed" else 0.0))
+    bus.emit("transcription-status",
+             {"recording_path": recording_path, "status": status, "error": None})
+
+
+def start_transcription(recording_path: str, tm: TranscriptionManager, model_id: str,
+                        **kwargs) -> threading.Thread:
+    """Spawn the worker thread (commands/transcription.rs:32-96)."""
+    t = threading.Thread(
+        target=lambda: _guarded(run_transcription, recording_path, tm, model_id, **kwargs),
+        daemon=True,
+    )
+    t.start()
+    return t
+
+
+def _guarded(fn, *a, **kw):
+    try:
+        fn(*a, **kw)
+    except Exception:
+        pass  # state/events already record the error

@@ -57,7 +57,7 @@ def _walk_chunks(f: io.BufferedIOBase) -> Optional[WavFormat]:
             (sample_rate,) = struct.unpack("<I", fmt_data[4:8])
             (bits,) = struct.unpack("<H", fmt_data[14:16])
         elif chunk_id == b"data":
-            if sample_rate == 0 or bits == 0 or num_channels == 0 or chunk_size == 0:
+            if sample_rate == 0 or bits == 0 or num_channels == 0:
                 return None
             return WavFormat(
                 num_channels=num_channels,

@@ -1,0 +1,166 @@
+"""Transcription pipeline: chunking, events, progress/ETA, cancel,
+persistence (reference: commands/transcription.rs, managers/transcription.rs)."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from crispy_tpu.api.events import EventBus
+from crispy_tpu.engine import transcription as tr
+from crispy_tpu.io import wav as wavio
+from crispy_tpu.models.registry import ModelManager
+
+
+class FakeEngine(tr.EngineProtocol):
+    """Deterministic engine: text encodes chunk index + RMS presence."""
+
+    name = "fake"
+
+    def __init__(self, delay=0.0, texts=None):
+        self.delay = delay
+        self.calls = []
+        self.texts = texts
+
+    def transcribe_batch(self, chunks, language="en"):
+        self.calls.append(np.asarray(chunks).shape)
+        if self.delay:
+            time.sleep(self.delay)
+        out = []
+        for i, c in enumerate(np.atleast_2d(chunks)):
+            if self.texts is not None:
+                out.append(self.texts.pop(0) if self.texts else "")
+            else:
+                out.append(f"chunk{len(self.calls)}-{i}" if np.abs(c).max() > 0 else "")
+        return out
+
+
+@pytest.fixture
+def setup(tmp_path, data_root):
+    bus = EventBus()
+    bus.keep_history = True
+    mm = ModelManager(models_dir=tmp_path / "Models", bus=bus)
+    engine = FakeEngine()
+    tm = tr.TranscriptionManager(mm, bus=bus, engine_loader=lambda mid, m: engine)
+    return tm, bus, engine, tmp_path
+
+
+def make_wav(path, seconds, sr=48000, channels=1):
+    t = np.arange(int(seconds * sr)) / sr
+    sig = (0.3 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    data = np.tile(sig[:, None], (1, channels))
+    return wavio.write_wav(path, data, sr)
+
+
+class TestPersistence:
+    def test_stems_stable_and_distinct(self):
+        a = tr.transcription_file_stem("/a/b.wav")
+        assert a == tr.transcription_file_stem("/a/b.wav")
+        assert len(a) == 16
+        assert a != tr.transcription_file_stem("/a/c.wav")
+
+    def test_sidecar_roundtrip(self, data_root):
+        tr.save_transcription_result("/r/x.wav", "hello")
+        tr.save_transcription_metadata("/r/x.wav", "small")
+        tr.save_transcription_chat_history("/r/x.wav", [{"role": "user", "content": "hi"}])
+        assert tr.load_transcription_result("/r/x.wav") == "hello"
+        assert tr.load_transcription_metadata("/r/x.wav") == "small"
+        assert tr.load_transcription_chat_history("/r/x.wav")[0]["content"] == "hi"
+        assert tr.load_transcription_result("/r/other.wav") is None
+        assert tr.load_transcription_chat_history("/r/other.wav") == []
+
+
+class TestPipeline:
+    def test_short_file_single_chunk(self, setup):
+        tm, bus, engine, tmp = setup
+        wav = make_wav(tmp / "rec.wav", seconds=2.0)
+        text = tr.run_transcription(str(wav), tm, "fake-model")
+        assert text.startswith("chunk1-0")
+        assert engine.calls == [(1, tr.CHUNK_SAMPLES)]
+        statuses = [p["status"] for e, p in bus.history if e == "transcription-status"]
+        assert statuses == ["started", "completed"]
+        phases = [p["phase"] for e, p in bus.history if e == "transcription-phase"]
+        assert phases == ["preparing-audio", "loading-model", "transcribing"]
+        assert tr.load_transcription_result(str(wav)) == text
+        assert tr.load_transcription_metadata(str(wav)) == "fake-model"
+
+    def test_long_file_batched_chunks_and_progress(self, setup):
+        tm, bus, engine, tmp = setup
+        wav = make_wav(tmp / "long.wav", seconds=95.0, sr=16000)  # 4 chunks
+        tr.run_transcription(str(wav), tm, "fake-model", batch_chunks=2)
+        assert engine.calls == [(2, tr.CHUNK_SAMPLES), (2, tr.CHUNK_SAMPLES)]
+        progs = [p["progress"] for e, p in bus.history if e == "transcription-progress"]
+        assert progs == sorted(progs) and progs[-1] == 1.0
+        st = tm.get_state(str(wav))
+        assert st.status == "completed" and st.progress == 1.0
+
+    def test_eta_emitted(self, setup):
+        tm, bus, engine, tmp = setup
+        engine.delay = 0.05
+        wav = make_wav(tmp / "eta.wav", seconds=65.0, sr=16000)
+        tr.run_transcription(str(wav), tm, "fake-model", batch_chunks=1)
+        etas = [p["eta_seconds"] for e, p in bus.history if e == "transcription-progress"]
+        assert any(v is not None for v in etas)
+
+    def test_cancel_between_batches(self, setup):
+        tm, bus, engine, tmp = setup
+        wav = make_wav(tmp / "c.wav", seconds=65.0, sr=16000)
+
+        orig = engine.transcribe_batch
+
+        def canceling(chunks, language="en"):
+            tm.cancel(str(wav))
+            return orig(chunks, language)
+
+        engine.transcribe_batch = canceling
+        out = tr.run_transcription(str(wav), tm, "fake-model", batch_chunks=1)
+        assert out is None
+        statuses = [p["status"] for e, p in bus.history if e == "transcription-status"]
+        assert statuses[-1] == "cancelled"
+
+    def test_error_sets_error_state(self, setup):
+        tm, bus, engine, tmp = setup
+
+        def boom(chunks, language="en"):
+            raise RuntimeError("engine exploded")
+
+        engine.transcribe_batch = boom
+        wav = make_wav(tmp / "e.wav", seconds=2.0)
+        with pytest.raises(RuntimeError):
+            tr.run_transcription(str(wav), tm, "fake-model")
+        assert tm.get_state(str(wav)).status == "error"
+        errs = [p["error"] for e, p in bus.history if e == "transcription-status" and p["error"]]
+        assert "engine exploded" in errs[0]
+
+    def test_empty_file_completes_with_empty_result(self, setup):
+        tm, bus, engine, tmp = setup
+        wav = wavio.write_wav(tmp / "empty.wav", np.zeros((0, 1), np.float32), 48000)
+        text = tr.run_transcription(str(wav), tm, "fake-model")
+        assert text == ""
+        assert tm.get_state(str(wav)).status == "completed"
+
+    def test_resampling_48k_input(self, setup):
+        """48 kHz input resamples to 16 kHz before chunking (:196-207)."""
+        tm, bus, engine, tmp = setup
+        wav = make_wav(tmp / "r48.wav", seconds=31.0, sr=48000)
+        tr.run_transcription(str(wav), tm, "fake-model")
+        # 31 s → 2 chunks at 16 kHz
+        assert engine.calls[0][0] == 2
+
+    def test_start_transcription_runs_in_thread(self, setup):
+        tm, bus, engine, tmp = setup
+        wav = make_wav(tmp / "t.wav", seconds=2.0)
+        th = tr.start_transcription(str(wav), tm, "fake-model")
+        th.join(timeout=30)
+        assert tm.get_state(str(wav)).status == "completed"
+
+    def test_manager_model_caching(self, setup):
+        tm, bus, engine, tmp = setup
+        loads = []
+        tm._loader = lambda mid, m: loads.append(mid) or engine
+        tm.load_model("a")
+        tm.load_model("a")
+        tm.load_model("b")
+        assert loads == ["a", "b"]
+        assert tm.get_current_model() == "b"
