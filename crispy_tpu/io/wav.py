@@ -84,8 +84,8 @@ def get_wav_duration(path: PathLike) -> Optional[float]:
     """Duration in seconds from the header, or None if unparseable
     (commands/recording.rs:384-460)."""
     fmt = read_format(path)
-    if fmt is None:
-        return None
+    if fmt is None or fmt.data_size == 0:  # the reference's parser rejects
+        return None                        # empty data chunks (recording.rs:427)
     bytes_per_sample = fmt.bits_per_sample // 8
     if bytes_per_sample == 0:
         return None
