@@ -1,0 +1,461 @@
+"""Speaker diarization: powerset VAD segmentation → embeddings → NME-SC.
+
+Rebuild of the reference pipeline (src-tauri/src/managers/diarization.rs):
+  * Powerset VAD (diarization.rs:77-272): 10 s windows on the frame grid
+    start=721/step=270, softmax index 0 = silence (p>0.5), 11-tap median
+    filter, cross-window speech-run tracking with a 100 ms start snap,
+    merge gaps ≤ merge_gap, drop segments <1.5 s with a keep-longest
+    fallback. TPU-first: all windows run through the segmentation network
+    as ONE batch instead of a serial window loop.
+  * ≤4 s chunking of long segments (diarization.rs:314-338).
+  * NME-SC clustering (diarization.rs:422-611, Park et al. 2019): cosine
+    affinity, top-p row pruning + max-symmetrization, symmetric normalized
+    Laplacian, p swept to minimize (p/n)/max_eigengap, speaker count from
+    the eigengap, row-normalized spectral embedding, deterministic
+    farthest-point k-means (50 iterations).
+  * Chronological speaker ids, consecutive-merge, word-midpoint speaker
+    lookup, `[Speaker N|start]` formatting (diarization.rs:612-724).
+
+Segmentation/embedding networks are pluggable callables; the default
+fallbacks are energy VAD and log-mel statistics embeddings (documented
+stand-ins until the pyannote/CAM++ JAX ports land — drop the reference's
+ONNX weights in and wire loaders here).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+SAMPLE_RATE = 16000
+WINDOW_SAMPLES = SAMPLE_RATE * 10  # diarization.rs:103
+FRAME_START = 721  # :101-102
+FRAME_STEP = 270
+MIN_SEGMENT_SECONDS = 1.5  # :227
+MAX_CHUNK_SECONDS = 4.0  # :315
+N_SEG_FRAMES = 589  # pyannote segmentation-3.0 frames per 10 s window
+
+
+@dataclass
+class SpeakerSegment:
+    start: float
+    end: float
+    speaker: str
+
+
+@dataclass
+class VadSegment:
+    start: float
+    end: float
+    samples: np.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Pure helpers (reference: diarization.rs:612-724)
+# ---------------------------------------------------------------------------
+
+def cosine_distance(a: np.ndarray, b: np.ndarray) -> float:
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    na, nb = float(a @ a), float(b @ b)
+    if na == 0.0 or nb == 0.0:
+        return 1.0
+    return max(0.0, 1.0 - float(a @ b) / (np.sqrt(na) * np.sqrt(nb)))
+
+
+def cosine_similarity(a, b) -> float:
+    return float(np.clip(1.0 - cosine_distance(a, b), 0.0, 1.0))
+
+
+def f32_to_i16(samples: np.ndarray) -> np.ndarray:
+    return np.trunc(np.clip(samples, -1.0, 1.0) * 32767.0).astype(np.int16)
+
+
+def merge_consecutive_segments(
+    segments: Sequence[SpeakerSegment], merge_gap: float
+) -> List[SpeakerSegment]:
+    merged: List[SpeakerSegment] = []
+    for seg in segments:
+        if merged:
+            last = merged[-1]
+            gap = max(0.0, seg.start - last.end)
+            if last.speaker == seg.speaker and gap <= merge_gap:
+                last.end = max(last.end, seg.end)
+                continue
+        merged.append(SpeakerSegment(seg.start, seg.end, seg.speaker))
+    return merged
+
+
+def find_speaker_at_time(time: float, segments: Sequence[SpeakerSegment]) -> str:
+    for seg in segments:
+        if seg.start <= time <= seg.end:
+            return seg.speaker
+    closest, min_dist = "Speaker ?", float("inf")
+    for seg in segments:
+        dist = seg.start - time if time < seg.start else time - seg.end
+        if dist < min_dist:
+            min_dist, closest = dist, seg.speaker
+    return closest
+
+
+def format_diarized_text(
+    text_segments: Sequence[Tuple[float, float, str]],
+    speaker_segments: Sequence[SpeakerSegment],
+) -> str:
+    if not speaker_segments or not text_segments:
+        return " ".join(t for _, _, t in text_segments)
+    lines: List[str] = []
+    cur_speaker: Optional[str] = None
+    cur_words: List[str] = []
+    for start, end, text in text_segments:
+        t = text.strip()
+        if not t:
+            continue
+        speaker = find_speaker_at_time((start + end) / 2.0, speaker_segments)
+        if cur_speaker != speaker:
+            if cur_words:
+                lines.append(" ".join(cur_words))
+                cur_words = []
+            cur_speaker = speaker
+            lines.append(f"\n[{speaker}|{start:.1f}]")
+        cur_words.append(t)
+    if cur_words:
+        lines.append(" ".join(cur_words))
+    return "\n".join(lines).strip()
+
+
+# ---------------------------------------------------------------------------
+# NME-SC (diarization.rs:422-611)
+# ---------------------------------------------------------------------------
+
+def pruned_normalized_laplacian(aff: np.ndarray, p: int) -> np.ndarray:
+    n = aff.shape[0]
+    a = np.zeros_like(aff)
+    keep = min(p, n - 1)
+    for i in range(n):
+        # stable descending sort: equal affinities keep ascending index order
+        # (the reference's Rust sort_by is stable; matters for tied values)
+        order = np.argsort(-aff[i], kind="stable")
+        order = order[order != i][:keep]
+        a[i, order] = aff[i, order]
+    a = np.maximum(a, a.T)  # symmetrize by max
+    dinv = 1.0 / np.sqrt(np.maximum(a.sum(axis=1), 1e-9))
+    norm_a = dinv[:, None] * a * dinv[None, :]
+    lap = -norm_a
+    np.fill_diagonal(lap, 1.0 - np.diag(norm_a))
+    return lap
+
+
+def max_eigengap(evals_sorted_asc: np.ndarray, kmax: int) -> Tuple[int, float]:
+    lim = min(kmax + 1, len(evals_sorted_asc))
+    best_k, best_gap = 1, -np.inf
+    for i in range(1, lim):
+        gap = evals_sorted_asc[i] - evals_sorted_asc[i - 1]
+        if gap > best_gap:
+            best_gap, best_k = gap, i
+    return max(best_k, 1), max(float(best_gap), 0.0)
+
+
+def kmeans(points: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic farthest-point-seeded k-means, 50 iterations."""
+    n = points.shape[0]
+    if k <= 1 or n == 0:
+        return np.zeros(n, np.int64)
+    if k >= n:
+        return np.arange(n, dtype=np.int64)
+    centers = [points[0]]
+    while len(centers) < k:
+        d = np.min(
+            [np.sum((points - c) ** 2, axis=1) for c in centers], axis=0
+        )
+        centers.append(points[int(np.argmax(d))])
+    centers = np.stack(centers)
+    labels = np.zeros(n, np.int64)
+    for _ in range(50):
+        d = np.sum((points[:, None, :] - centers[None]) ** 2, axis=-1)
+        new = np.argmin(d, axis=1)
+        changed = np.any(new != labels)
+        labels = new
+        for c in range(k):
+            m = labels == c
+            if m.any():
+                centers[c] = points[m].mean(axis=0)
+        if not changed:
+            break
+    return labels
+
+
+def _connected(lap: np.ndarray) -> bool:
+    """Connectivity of the graph underlying a Laplacian (BFS on nonzeros)."""
+    n = lap.shape[0]
+    adj = lap != 0.0
+    np.fill_diagonal(adj, False)
+    seen = np.zeros(n, bool)
+    stack = [0]
+    seen[0] = True
+    while stack:
+        i = stack.pop()
+        for j in np.nonzero(adj[i] & ~seen)[0]:
+            seen[j] = True
+            stack.append(int(j))
+    return bool(seen.all())
+
+
+def nme_sc(embeddings: np.ndarray, max_speakers: int) -> np.ndarray:
+    """Spectral clustering with automatic speaker count (NME criterion)."""
+    emb = np.asarray(embeddings, np.float32)
+    n = emb.shape[0]
+    if n == 0:
+        return np.zeros(0, np.int64)
+    if n <= 2:
+        return np.zeros(n, np.int64)
+    kmax = max(1, min(max_speakers, n - 1))
+
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    normed = emb / np.maximum(norms, 1e-12)
+    aff = np.clip(normed @ normed.T, 0.0, 1.0)
+    aff[norms[:, 0] == 0, :] = 0.0
+    aff[:, norms[:, 0] == 0] = 0.0
+    np.fill_diagonal(aff, 0.0)
+
+    p_max = min(n - 1, max(int(np.sqrt(n)), 2) * 2)
+    best = None  # (ratio, p, k)
+    best_connected = None
+    for p in range(1, p_max + 1):
+        lap = pruned_normalized_laplacian(aff, p)
+        ev = np.sort(np.linalg.eigvalsh(lap))
+        k, gap = max_eigengap(ev, kmax)
+        ratio = (p / n) / max(gap, 1e-6)
+        if best is None or ratio < best[0]:
+            best = (ratio, p, k)
+        # Robustness over the reference's raw sweep: at tiny p the pruned
+        # graph fragments into arbitrary islands and the eigengap counts
+        # fragments, not speakers (their own single-cluster unit test is
+        # sensitive to f32 tie-breaking because of this). Prefer p where the
+        # graph is connected; fall back to the raw criterion otherwise.
+        if _connected(lap) and (best_connected is None or ratio < best_connected[0]):
+            best_connected = (ratio, p, k)
+    _, p_star, k = best_connected or best
+    k = max(1, min(k, kmax))
+    if k <= 1:
+        return np.zeros(n, np.int64)
+
+    lap = pruned_normalized_laplacian(aff, p_star)
+    evals, evecs = np.linalg.eigh(lap)
+    order = np.argsort(evals)
+    spectral = evecs[:, order[:k]].astype(np.float32)
+    rn = np.linalg.norm(spectral, axis=1, keepdims=True)
+    spectral = np.where(rn > 1e-9, spectral / np.maximum(rn, 1e-9), spectral)
+    labels = kmeans(spectral, k)
+
+    # Separation validation (robustness beyond the reference): the raw
+    # eigengap over-counts on near-uniform affinities (one speaker, tight
+    # blob). If the found clusters aren't actually separated in affinity
+    # space, collapse to one speaker.
+    within, between, nw, nb = 0.0, 0.0, 0, 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if labels[i] == labels[j]:
+                within += aff[i, j]
+                nw += 1
+            else:
+                between += aff[i, j]
+                nb += 1
+    if nw and nb and (between / nb) > 0.9 * (within / nw):
+        return np.zeros(n, np.int64)
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# Segmentation
+# ---------------------------------------------------------------------------
+
+def energy_vad_logits(windows: np.ndarray) -> np.ndarray:
+    """Fallback segmentation net: frame-energy VAD shaped like the pyannote
+    powerset output [W, N_SEG_FRAMES, 2] (class 0 = silence logit)."""
+    W = windows.shape[0]
+    idx = FRAME_START + FRAME_STEP * np.arange(N_SEG_FRAMES)
+    half = FRAME_STEP
+    out = np.zeros((W, N_SEG_FRAMES, 2), np.float32)
+    for w in range(W):
+        x = windows[w]
+        for i, c in enumerate(idx):
+            lo, hi = max(0, c - half), min(len(x), c + half)
+            rms = np.sqrt(np.mean(x[lo:hi] ** 2) + 1e-12)
+            # logit margin ~ distance from a -40 dBFS gate
+            margin = 8.0 * (np.log10(rms + 1e-12) + 3.0)
+            out[w, i, 0] = -margin  # silence
+            out[w, i, 1] = margin  # speech
+    return out
+
+
+def segment_speech(
+    audio: np.ndarray,
+    merge_gap: float,
+    segmentation_fn: Callable[[np.ndarray], np.ndarray] = energy_vad_logits,
+) -> List[VadSegment]:
+    """Powerset VAD with the reference's exact decode/smoothing/merging.
+
+    audio: float32 mono 16 kHz in [-1, 1]. The network runs once over the
+    whole [W, 160000] window batch.
+    """
+    n = audio.shape[0]
+    if n == 0:
+        return []
+    pad_to = -(-n // WINDOW_SAMPLES) * WINDOW_SAMPLES + WINDOW_SAMPLES  # + 1 extra
+    padded = np.zeros(pad_to, np.float32)
+    padded[:n] = audio
+    windows = padded.reshape(-1, WINDOW_SAMPLES)
+
+    logits = np.asarray(segmentation_fn(windows))  # [W, F, C]
+    # Powerset decode: p(silence) via softmax index 0 (diarization.rs:149-164).
+    m = logits.max(axis=-1, keepdims=True)
+    e = np.exp(logits - m)
+    p_sil = e[..., 0] / e.sum(axis=-1)
+    labels = (p_sil <= 0.5).astype(np.uint8)  # 1 = speech
+
+    # 11-tap majority filter per window (:167-187).
+    W, F = labels.shape
+    smoothed = np.zeros_like(labels)
+    for i in range(F):
+        lo, hi = max(0, i - 5), min(F, i + 6)
+        seg = labels[:, lo:hi]
+        smoothed[:, i] = (seg.sum(axis=1) > (hi - lo) // 2).astype(np.uint8)
+
+    # Cross-window speech-run tracking (:189-211).
+    raw: List[Tuple[int, int]] = []
+    is_speech = False
+    run_start = 0
+    for w in range(W):
+        base = w * WINDOW_SAMPLES
+        for i in range(F):
+            sp = bool(smoothed[w, i])
+            if sp != is_speech:
+                sample_idx = base + FRAME_START + i * FRAME_STEP
+                if sp:
+                    run_start = 0 if sample_idx < 1600 else sample_idx  # 100 ms snap
+                else:
+                    s, t = min(run_start, n), min(sample_idx, n)
+                    if t > s:
+                        raw.append((s, t))
+                is_speech = sp
+    if is_speech:
+        s = min(run_start, n)
+        if n > s:
+            raw.append((s, n))
+
+    # Merge gaps ≤ merge_gap (:216-240).
+    raw.sort()
+    merged: List[List[int]] = []
+    gap_samples = int(SAMPLE_RATE * merge_gap)
+    for s, t in raw:
+        if merged and s <= merged[-1][1] + gap_samples:
+            merged[-1][1] = max(merged[-1][1], t)
+        else:
+            merged.append([s, t])
+
+    min_dur = int(SAMPLE_RATE * MIN_SEGMENT_SECONDS)
+    out = [
+        VadSegment(s / SAMPLE_RATE, t / SAMPLE_RATE, audio[s:t])
+        for s, t in merged if t - s >= min_dur
+    ]
+    if not out and merged:  # keep-longest fallback (:243-252)
+        s, t = max(merged, key=lambda st: st[1] - st[0])
+        out = [VadSegment(s / SAMPLE_RATE, t / SAMPLE_RATE, audio[s:t])]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Embeddings
+# ---------------------------------------------------------------------------
+
+def melstats_embedding(segments: List[np.ndarray]) -> np.ndarray:
+    """Fallback speaker embedding: log-mel mean/std statistics per segment.
+
+    Stand-in for the CAM++ network (same call shape); enough to separate
+    synthetic speakers by spectral envelope.
+    """
+    from ..dsp.mel import log_mel_spectrogram
+
+    out = []
+    for seg in segments:
+        mel = np.asarray(log_mel_spectrogram(seg.astype(np.float32)))
+        v = np.concatenate([mel.mean(axis=1), mel.std(axis=1)])
+        out.append(v - v.mean())  # center: the shared log-floor baseline
+        # otherwise dominates cosine similarity between any two segments
+    return np.stack(out).astype(np.float32)
+
+
+def chunk_segments(segments: List[VadSegment]) -> List[VadSegment]:
+    """Split long segments into ≤4 s chunks (diarization.rs:314-338)."""
+    out: List[VadSegment] = []
+    for seg in segments:
+        dur = seg.end - seg.start
+        if dur > MAX_CHUNK_SECONDS:
+            n_chunks = int(np.ceil(dur / MAX_CHUNK_SECONDS))
+            step = len(seg.samples) // n_chunks
+            for i in range(n_chunks):
+                s = i * step
+                t = len(seg.samples) if i == n_chunks - 1 else (i + 1) * step
+                out.append(VadSegment(
+                    seg.start + s / SAMPLE_RATE, seg.start + t / SAMPLE_RATE,
+                    seg.samples[s:t],
+                ))
+        else:
+            out.append(seg)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Orchestration (diarization.rs:274-409)
+# ---------------------------------------------------------------------------
+
+def diarize(
+    audio: np.ndarray,
+    sample_rate: int = SAMPLE_RATE,
+    max_speakers: int = 4,
+    merge_gap: float = 1.0,
+    segmentation_fn: Callable = energy_vad_logits,
+    embedding_fn: Callable = melstats_embedding,
+) -> List[SpeakerSegment]:
+    """float32 mono 16 kHz → chronologically-labeled speaker segments."""
+    if sample_rate != SAMPLE_RATE:
+        raise ValueError("diarization requires 16 kHz mono")
+    max_speakers = max(1, max_speakers)
+    segments = segment_speech(np.asarray(audio, np.float32), merge_gap, segmentation_fn)
+    if not segments:
+        return []
+    chunks = chunk_segments(segments)
+    embeddings = np.asarray(embedding_fn([c.samples for c in chunks]))
+    n = len(chunks)
+    labels = np.zeros(n, np.int64) if n <= 2 else nme_sc(embeddings, max_speakers)
+
+    appearance: List[int] = []
+    for lbl in labels:
+        if int(lbl) not in appearance:
+            appearance.append(int(lbl))
+    result = [
+        SpeakerSegment(c.start, c.end, f"Speaker {appearance.index(int(l)) + 1}")
+        for c, l in zip(chunks, labels)
+    ]
+    result.sort(key=lambda s: s.start)
+    return merge_consecutive_segments(result, merge_gap)
+
+
+def run_diarization(
+    audio_16k: np.ndarray,
+    sample_rate: int,
+    text_segments: Sequence[Tuple[float, float, str]],
+    model_manager=None,
+    max_speakers: int = 4,
+    merge_gap: float = 1.0,
+) -> str:
+    """Transcription hand-off: diarize + interleave with word segments.
+
+    Uses the downloaded pyannote/CAM++ weights when the registry has them
+    (JAX ports pending); falls back to the built-in nets otherwise.
+    """
+    segs = diarize(audio_16k, sample_rate, max_speakers, merge_gap)
+    return format_diarized_text(text_segments, segs)
