@@ -74,7 +74,9 @@ class LinearResampler:
             if x.size == 0:
                 return np.empty(0, np.float32)
 
-        step = float(self.input_rate) / float(self.output_rate)
+        # f32 division then f64 accumulation — the reference's exact step
+        # arithmetic (audio.rs:124: `(input_rate / output_rate) as f64`).
+        step = float(np.float32(self.input_rate) / np.float32(self.output_rate))
         n0 = self.input_pos  # position of last consumed sample
         n_last = n0 + x.size
         # Pending output positions p_k = next_output_pos + k*step, p_k <= n_last.

@@ -128,14 +128,37 @@ class RecordableApp:
     name: str
 
 
+def _make_ring():
+    """Native C++ ring when the runtime builds; Python deque otherwise."""
+    try:
+        from .. import runtime as rt
+
+        if rt.available():
+            return rt.NativeRing(RING_CAPACITY)
+    except Exception:
+        pass
+    return RingBuffer()
+
+
+def _make_writer(path):
+    try:
+        from .. import runtime as rt
+
+        if rt.available():
+            return rt.NativeWavWriter(path, SAMPLE_RATE, CHANNELS)
+    except Exception:
+        pass
+    return wavio.WavWriter(path, SAMPLE_RATE, CHANNELS)
+
+
 class RecordingState:
     """Writer slot + rings + worker handle (recording.rs:8-76)."""
 
     def __init__(self):
-        self.writer: Optional[wavio.WavWriter] = None
+        self.writer = None
         self.writer_path: Optional[Path] = None
-        self.mic_ring = RingBuffer()
-        self.app_ring = RingBuffer()
+        self.mic_ring = _make_ring()
+        self.app_ring = _make_ring()
         self.worker: Optional[threading.Thread] = None
         self.active = threading.Event()  # RECORDING_ACTIVE (commands/recording.rs:15)
         self.app_source: Optional[AudioSource] = None
@@ -184,7 +207,7 @@ def do_start_recording(state: RecordingState, app_source: Optional[AudioSource] 
         out_dir = paths.ensure_dir(Path(recordings_dir) if recordings_dir else paths.recordings_dir())
         name = datetime.now().strftime("recording_%Y%m%d_%H%M%S.wav")
         path = out_dir / name
-        state.writer = wavio.WavWriter(path, SAMPLE_RATE, CHANNELS)
+        state.writer = _make_writer(path)
         state.writer_path = path
     state.mic_ring.clear()
     state.app_ring.clear()

@@ -17,7 +17,7 @@ def oracle_linear(samples, in_rate, out_rate):
     (audio.rs:107-133) used as the spec for the vectorized class."""
     out = []
     last, has_last, input_pos, next_out = 0.0, False, 0.0, 0.0
-    step = in_rate / out_rate
+    step = float(np.float32(in_rate) / np.float32(out_rate))  # f32 div (audio.rs:124)
     if abs(in_rate - out_rate) < 1.0:
         return list(samples)
     for s in samples:
