@@ -88,7 +88,11 @@ def _biquad_tables() -> Dict[str, np.ndarray]:
     toe[mask] = h[(i - j)[mask]]
     # Injection weights: a_inj = sum_j (c * p^(FRAME - j)) x'_j
     kinj = c * p ** (FRAME - n)
+    # p^(480*(f+1)) for the cross-frame carry propagation (up to 4096 frames)
+    pows = (p ** FRAME) ** np.arange(1, 4097, dtype=np.float64)
     return {
+        "biq_pows_re": np.real(pows).astype(np.float32),
+        "biq_pows_im": np.imag(pows).astype(np.float32),
         "biq_toeplitz": toe.T.astype(np.float32),  # used as x' @ T^T
         "biq_kinj_re": np.real(kinj).astype(np.float32),
         "biq_kinj_im": np.imag(kinj).astype(np.float32),
@@ -314,20 +318,36 @@ def _hp_biquad(params, state, x: jnp.ndarray) -> Tuple[dict, jnp.ndarray]:
 
     p_re, p_im = params["biq_p480_re"], params["biq_p480_im"]
 
-    def step(carry, inj):
-        a_re, a_im = carry
-        i_re, i_im = inj
-        out = (a_re, a_im)
-        new_re = a_re * p_re - a_im * p_im + i_re
-        new_im = a_re * p_im + a_im * p_re + i_im
-        return (new_re, new_im), out
+    # Linear complex recurrence a_f = p^480 * a_{f-1} + inj_f: log-depth
+    # associative scan instead of a sequential 100-step lax.scan (whose
+    # per-step output stacking dominated the stage).
+    ones = jnp.ones((S, F), jnp.float32)
+    elems = (ones * p_re, ones * p_im, inj_re, inj_im)
 
-    (a_re_f, a_im_f), (amps_re, amps_im) = lax.scan(
-        step, (state["biq_a_re"], state["biq_a_im"]),
-        (inj_re.T, inj_im.T),
-    )
-    amps_re = amps_re.T[..., None]  # [S, F, 1] amplitude at frame start
-    amps_im = amps_im.T[..., None]
+    def combine(x, y):
+        # (A, b) o (C, d) = (C*A, C*b + d), complex pairs
+        ar, ai, br, bi = x
+        cr, ci, dr, di = y
+        return (
+            cr * ar - ci * ai,
+            cr * ai + ci * ar,
+            cr * br - ci * bi + dr,
+            cr * bi + ci * br + di,
+        )
+
+    _, _, acc_re, acc_im = lax.associative_scan(combine, elems, axis=1)
+    # acc_f = amplitude AFTER frame f given zero initial state; add the
+    # carried initial amplitude propagated by p^(480*(f+1)).
+    pk_re, pk_im = params["biq_pows_re"], params["biq_pows_im"]  # p^(480(f+1)), [F]
+    a0r = state["biq_a_re"][:, None]
+    a0i = state["biq_a_im"][:, None]
+    tot_re = acc_re + a0r * pk_re[:F] - a0i * pk_im[:F]
+    tot_im = acc_im + a0r * pk_im[:F] + a0i * pk_re[:F]
+    # Amplitude at frame START = previous frame's total (frame 0: the carry).
+    amps_re = jnp.concatenate([a0r, tot_re[:, :-1]], axis=1)[..., None]
+    amps_im = jnp.concatenate([a0i, tot_im[:, :-1]], axis=1)[..., None]
+    a_re_f = tot_re[:, -1]
+    a_im_f = tot_im[:, -1]
     y = y_local + 2.0 * (amps_re * params["biq_pvec_re"] - amps_im * params["biq_pvec_im"])
 
     new_state = dict(state)
@@ -430,36 +450,28 @@ def _pitch_index(params, state, ext: jnp.ndarray, F: int):
     corr = jnp.flip(cc, axis=-1)  # corr[T] = cc[384 - T], T in 0..384
     yyl = jnp.maximum(0.0, energies[..., _FINE_LAGS:])  # already T-indexed
 
+    # All candidate reads (corr/yyl at T_cand, T_cand±1, Tb_cand) in one
+    # Pallas one-hot-matmul kernel — XLA's take_along_axis gathers were the
+    # pipeline's dominant cost.
+    from .pallas_ops import rd_candidate_gather
+
     ks = jnp.arange(2, 16, dtype=jnp.int32)  # [14]
     T0k = T0[..., None]
     T1 = (2 * T0k + ks) // (2 * ks)  # [S, F, 14]
-    sc = jnp.take(params["second_check"], ks)
-    T1b_k2 = jnp.where(T0k + T1 > _RD_MAXP, T0k, T0k + T1)
-    T1b = jnp.where(ks == 2, T1b_k2, (2 * sc * T0k + ks) // (2 * ks))
+    xy_t, xc_m1, xc_p1, yy_t, xy_tb, yy_tb = rd_candidate_gather(corr, yyl, T0)
     # Candidate axis: index 0 = "keep T0", 1.. = subharmonics k=2..15.
     T_cand = jnp.concatenate([T0k, T1], axis=-1)  # [S, F, 15]
-    Tb_cand = jnp.concatenate([T0k, T1b], axis=-1)
-    xy_cand = 0.5 * (
-        jnp.take_along_axis(corr, T_cand, axis=-1)
-        + jnp.take_along_axis(corr, Tb_cand, axis=-1)
-    )
-    yy_cand = 0.5 * (
-        jnp.take_along_axis(yyl, T_cand, axis=-1)
-        + jnp.take_along_axis(yyl, Tb_cand, axis=-1)
-    )
+    xy_cand = 0.5 * (xy_t + xy_tb)
+    yy_cand = 0.5 * (yy_t + yy_tb)
     # Candidate 0 averages (T0, T0) with itself — exactly xy(T0), yy(T0).
     g_cand = xy_cand / jnp.sqrt(1.0 + xx[..., None] * yy_cand)
     g0 = g_cand[..., 0]
     valid = jnp.cumprod((T1 >= _RD_MINP).astype(jnp.int32), axis=-1).astype(bool)
 
     # Per-candidate refinement (offset interpolation + gain), all parallel.
-    tidx = T_cand[..., None] + jnp.arange(-1, 2)  # [S, F, 15, 3]
-    xc3 = jnp.take_along_axis(
-        corr[..., None, :], jnp.clip(tidx, 0, _RD_MAXP), axis=-1
-    )
     off = jnp.where(
-        xc3[..., 2] - xc3[..., 0] > 0.7 * (xc3[..., 1] - xc3[..., 0]), 1,
-        jnp.where(xc3[..., 0] - xc3[..., 2] > 0.7 * (xc3[..., 1] - xc3[..., 2]), -1, 0),
+        xc_p1 - xc_m1 > 0.7 * (xy_t - xc_m1), 1,
+        jnp.where(xc_m1 - xc_p1 > 0.7 * (xy_t - xc_p1), -1, 0),
     )
     best_xy = jnp.maximum(0.0, xy_cand)
     pg_cand = jnp.where(yy_cand <= best_xy, 1.0, best_xy / (yy_cand + 1.0))
@@ -664,14 +676,17 @@ def _nn_scan(params, state, feats: jnp.ndarray, silence: jnp.ndarray):
         gs = jnp.maximum(graw, np.float32(C.ALPHA_LASTG) * lastg)
         lastg2 = jnp.where(keep, lastg, gs)
         vad_out = jnp.where(sil, 0.0, vad_p)
-        return (vad_s2, noi_s2, den_s2, lastg2), (graw, gs, vad_out)
+        # one packed emit per step: scan-output stacking costs per array
+        out = jnp.concatenate([graw, gs, vad_out[:, None]], axis=-1)  # [S, 45]
+        return (vad_s2, noi_s2, den_s2, lastg2), out
 
     init = (state["gru_vad"], state["gru_noise"], state["gru_denoise"], state["lastg"])
     packed = jnp.concatenate([feats, silence[..., None].astype(jnp.float32)], axis=-1)
-    (vad_f, noi_f, den_f, lastg_f), (graw, gsmooth, vad) = lax.scan(
+    (vad_f, noi_f, den_f, lastg_f), out = lax.scan(
         step, init, jnp.moveaxis(packed, 1, 0)
     )
-    outs = tuple(jnp.moveaxis(a, 0, 1) for a in (graw, gsmooth, vad))
+    out = jnp.moveaxis(out, 0, 1)  # [S, F, 45]
+    outs = (out[..., :NB], out[..., NB: 2 * NB], out[..., 2 * NB])
     return outs, {"gru_vad": vad_f, "gru_noise": noi_f, "gru_denoise": den_f, "lastg": lastg_f}
 
 
