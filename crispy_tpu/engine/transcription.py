@@ -154,8 +154,28 @@ def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
                 return wm.transcribe_chunks(chunks, language=language)
 
         return _WhisperEngine()
+    if info.engine_type == "moonshine":
+        from ..models.moonshine import MoonshineModel
+
+        if not (path / "model.safetensors").exists() and not (path / "pytorch_model.bin").exists():
+            raise NotImplementedError(
+                "this moonshine bundle ships ONNX weights; drop an HF "
+                "checkpoint (model.safetensors + tokenizer.json) into the "
+                "model dir for the JAX engine (ONNX import lands next)"
+            )
+        mm = MoonshineModel.from_hf(path, name=model_id)
+
+        class _MoonshineEngine(EngineProtocol):
+            name = model_id
+
+            def transcribe_batch(self, chunks, language="en"):
+                return mm.transcribe_chunks(chunks, language=language)
+
+        return _MoonshineEngine()
     raise NotImplementedError(
-        f"engine '{info.engine_type}' not yet implemented in the TPU build"
+        f"engine '{info.engine_type}' not yet implemented in the TPU build "
+        "(parakeet/gigaam/sensevoice/canary/cohere JAX ports land in "
+        "subsequent rounds)"
     )
 
 
