@@ -153,6 +153,9 @@ def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
             def transcribe_batch(self, chunks, language="en"):
                 return wm.transcribe_chunks(chunks, language=language)
 
+            def transcribe_with_timestamps(self, chunk_16k, offset_seconds):
+                return wm.transcribe_chunk_with_timestamps(chunk_16k, offset_seconds)
+
         return _WhisperEngine()
     if info.engine_type == "moonshine":
         from ..models.moonshine import MoonshineModel
@@ -312,11 +315,20 @@ def run_transcription(
                 _finish(tm, bus, recording_path, "cancelled")
                 return None
             batch = chunks[b0: b0 + batch_chunks]
-            texts = tm.engine.transcribe_batch(batch, language=language)
-            for j, text in enumerate(texts):
-                cs = (b0 + j) * TRANSCRIBE_CHUNK_SECONDS
-                if text.strip():
-                    parts.append((cs, min(cs + TRANSCRIBE_CHUNK_SECONDS, total_seconds), text))
+            if diarization and diarization.get("enabled"):
+                # timestamped segments for speaker alignment (:272-280)
+                for j in range(batch.shape[0]):
+                    cs = (b0 + j) * TRANSCRIBE_CHUNK_SECONDS
+                    for s, e, text in tm.engine.transcribe_with_timestamps(batch[j], cs):
+                        if text.strip():
+                            parts.append((s, min(e, total_seconds), text))
+                texts = [""] * batch.shape[0]
+            else:
+                texts = tm.engine.transcribe_batch(batch, language=language)
+                for j, text in enumerate(texts):
+                    cs = (b0 + j) * TRANSCRIBE_CHUNK_SECONDS
+                    if text.strip():
+                        parts.append((cs, min(cs + TRANSCRIBE_CHUNK_SECONDS, total_seconds), text))
             done_samples = min((b0 + len(texts)) * CHUNK_SAMPLES, total_out)
             progress = min(1.0, done_samples / max(total_out, 1))
             done_sec = done_samples / TARGET_SAMPLE_RATE

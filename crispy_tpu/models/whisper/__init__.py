@@ -69,3 +69,58 @@ class WhisperModel:
         )
         tokens, lengths = np.asarray(tokens), np.asarray(lengths)
         return [tok.decode(tokens[b, : lengths[b]]) for b in range(a.shape[0])]
+
+    def transcribe_chunk_with_timestamps(
+        self, audio_16k: np.ndarray, offset_seconds: float = 0.0,
+        language: str = "en", max_new: int = 224,
+    ) -> List[Tuple[float, float, str]]:
+        """One ≤30 s chunk → [(start, end, text)] segments from Whisper's
+        timestamp tokens (the reference gets word segments from its engines,
+        managers/transcription.rs:196-249; segment midpoints drive speaker
+        alignment either way)."""
+        import jax.numpy as jnp
+
+        from ...dsp.mel import log_mel_spectrogram
+
+        a = np.atleast_2d(np.asarray(audio_16k, dtype=np.float32))
+        dur = a.shape[1] / 16000.0
+        mel = log_mel_spectrogram(jnp.asarray(a), n_mels=self.cfg.n_mels, pad_to_chunk=True)
+        tok = self.tokenizer
+        sot = tok.sot_sequence(language=language, timestamps=True)
+        prompt = jnp.asarray(np.array(sot, np.int32)[None, :])
+        tokens, lengths = greedy_decode(
+            self.params, self.cfg, mel, prompt, max_new=max_new, eot=tok.eot
+        )
+        ids = np.asarray(tokens)[0, : int(np.asarray(lengths)[0])].tolist()
+        return parse_timestamp_segments(ids, tok, offset_seconds, dur)
+
+
+def parse_timestamp_segments(ids, tok: WhisperTokenizer, offset: float,
+                             chunk_dur: float) -> List[Tuple[float, float, str]]:
+    """Token stream with <|t|> markers → [(start, end, text)]; robust to
+    malformed sequences (missing close markers use the chunk end)."""
+    segments: List[Tuple[float, float, str]] = []
+    cur_start: Optional[float] = None
+    cur: List[int] = []
+    for t in ids:
+        ts = tok.timestamp_seconds(t)
+        if ts is None:
+            if not tok.is_special(t):
+                cur.append(t)
+            continue
+        if cur_start is None:
+            cur_start = ts
+        else:
+            text = tok.decode(cur).strip()
+            if text:
+                segments.append((offset + cur_start, offset + min(ts, chunk_dur), text))
+            cur, cur_start = [], ts
+    if cur and cur_start is not None:
+        text = tok.decode(cur).strip()
+        if text:
+            segments.append((offset + cur_start, offset + chunk_dur, text))
+    elif cur:  # no timestamps at all: whole-chunk fallback
+        text = tok.decode(cur).strip()
+        if text:
+            segments.append((offset, offset + chunk_dur, text))
+    return segments

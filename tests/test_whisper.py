@@ -202,3 +202,38 @@ def test_transcribe_chunks_end_to_end_shapes():
     texts = m.transcribe_chunks(audio, max_new=6)
     assert len(texts) == 2
     assert all(isinstance(t, str) for t in texts)
+
+
+class TestTimestamps:
+    def test_parse_timestamp_segments(self):
+        tok = WhisperTokenizer(vocab=[b"hi", b" there", b" yo"] + [b""] * 60000)
+        tb = tok.timestamp_begin
+        # <|0.00|> hi there <|1.00|> <|1.50|> yo <|2.00|>
+        ids = [50258, tb, 0, 1, tb + 50, tb + 75, 2, tb + 100, 50257]
+        from crispy_tpu.models.whisper import parse_timestamp_segments
+
+        segs = parse_timestamp_segments(ids, tok, offset=10.0, chunk_dur=30.0)
+        assert segs == [(10.0, 11.0, "hi there"), (11.5, 12.0, "yo")]
+
+    def test_parse_without_timestamps_falls_back_whole_chunk(self):
+        tok = WhisperTokenizer(vocab=[b"hello"] + [b""] * 60000)
+        from crispy_tpu.models.whisper import parse_timestamp_segments
+
+        segs = parse_timestamp_segments([50258, 0, 50257], tok, 5.0, 30.0)
+        assert segs == [(5.0, 35.0, "hello")]
+
+    def test_parse_unclosed_segment_uses_chunk_end(self):
+        tok = WhisperTokenizer(vocab=[b"tail"] + [b""] * 60000)
+        tb = tok.timestamp_begin
+        from crispy_tpu.models.whisper import parse_timestamp_segments
+
+        segs = parse_timestamp_segments([tb + 100, 0], tok, 0.0, 30.0)
+        assert segs == [(2.0, 30.0, "tail")]
+
+    def test_end_to_end_timestamped_chunk(self):
+        m = WhisperModel.random("test-random", seed=7)
+        rng = np.random.default_rng(0)
+        audio = (0.1 * rng.standard_normal(16000)).astype(np.float32)
+        segs = m.transcribe_chunk_with_timestamps(audio, offset_seconds=30.0, max_new=6)
+        for s, e, t in segs:
+            assert 30.0 <= s <= e <= 60.5 and isinstance(t, str)
