@@ -71,9 +71,93 @@ def _cmd_resample(args) -> int:
     return 0
 
 
-def _cmd_bench(args) -> int:
-    import bench_impl  # pragma: no cover
+def _cmd_transcribe(args) -> int:
+    from .api.commands import CrispyApp
 
+    app = CrispyApp()
+    if args.model:
+        app.set_active_model(args.model)
+    if not app.get_current_model():
+        print(json.dumps({"error": "no model selected; pass --model or "
+                                   "`crispy models set <id>`"}))
+        return 1
+    if args.diarize:
+        app.set_app_setting("diarization_enabled", "true")
+    t0 = time.time()
+    th = app.start_transcription(str(args.input))
+    th.join()
+    st = app.get_transcription_state(str(args.input)) or {}
+    text = app.get_transcription_result(str(args.input))
+    if args.output:
+        Path(args.output).write_text(text or "", encoding="utf-8")
+    else:
+        print(text or "")
+    print(json.dumps({"status": st.get("status"), "seconds_wall": round(time.time() - t0, 2)}),
+          file=sys.stderr)
+    return 0 if st.get("status") == "completed" else 1
+
+
+def _cmd_models(args) -> int:
+    from .api.commands import CrispyApp
+
+    app = CrispyApp()
+    if args.action == "list":
+        for m in app.get_available_models():
+            mark = "*" if m["is_downloaded"] else " "
+            print(f"{mark} {m['id']:24s} {m['size_mb']:>6} MB  acc {m['accuracy_score']:.2f} "
+                  f"spd {m['speed_score']:.2f}  {m['name']}")
+        cur = app.get_current_model()
+        print(f"\nactive: {cur or '(none)'}  recommended: {app.get_recommended_first_model()}")
+    elif args.action == "download":
+        t = app.download_model(args.model_id)
+        app.bus.listen("model-download-progress",
+                       lambda p: print(f"\r{p['percent']:.1f}%", end="", file=sys.stderr))
+        t.join()
+        print(json.dumps(app.get_model_info(args.model_id)))
+    elif args.action == "set":
+        app.set_active_model(args.model_id)
+        print(json.dumps({"active": args.model_id}))
+    elif args.action == "delete":
+        print(json.dumps({"deleted": app.delete_model(args.model_id)}))
+    return 0
+
+
+def _cmd_recordings(args) -> int:
+    from .api.commands import CrispyApp
+
+    app = CrispyApp()
+    if args.action == "list":
+        for r in app.get_recordings():
+            dur = f"{r['duration_seconds']:.1f}s" if r["duration_seconds"] else "?"
+            print(f"{r['name']:40s} {dur:>8} {r['size']:>10} B  {r['path']}")
+    elif args.action == "rename":
+        print(app.rename_recording(args.path, args.new_name))
+    elif args.action == "delete":
+        app.delete_recording(args.path)
+    return 0
+
+
+def _cmd_convert(args) -> int:
+    from .engine.convert import check_ffmpeg, convert_to_wav
+
+    if not check_ffmpeg():
+        print(json.dumps({"error": "ffmpeg not found"}))
+        return 1
+    out = convert_to_wav(args.input)
+    print(json.dumps({"output": str(out)}))
+    return 0
+
+
+def _cmd_serve(args) -> int:
+    from .api.stream_server import StreamServer
+
+    srv = StreamServer(port=args.port).start()
+    print(json.dumps({"url": f"http://127.0.0.1:{srv.port}/", "root": str(srv.root)}))
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()
     return 0
 
 
@@ -93,6 +177,32 @@ def main(argv=None) -> int:
     r.add_argument("output", type=Path)
     r.add_argument("--rate", type=int, required=True)
     r.set_defaults(fn=_cmd_resample)
+
+    t = sub.add_parser("transcribe", help="speech-to-text on a recording")
+    t.add_argument("input", type=Path)
+    t.add_argument("--model", default=None, help="model id (see `crispy models list`)")
+    t.add_argument("--output", type=Path, default=None)
+    t.add_argument("--diarize", action="store_true")
+    t.set_defaults(fn=_cmd_transcribe)
+
+    m = sub.add_parser("models", help="model catalog / downloads / selection")
+    m.add_argument("action", choices=["list", "download", "set", "delete"])
+    m.add_argument("model_id", nargs="?")
+    m.set_defaults(fn=_cmd_models)
+
+    rec = sub.add_parser("recordings", help="recordings CRUD")
+    rec.add_argument("action", choices=["list", "rename", "delete"])
+    rec.add_argument("path", nargs="?")
+    rec.add_argument("new_name", nargs="?")
+    rec.set_defaults(fn=_cmd_recordings)
+
+    c = sub.add_parser("convert", help="any media file → 48 kHz WAV (ffmpeg)")
+    c.add_argument("input", type=Path)
+    c.set_defaults(fn=_cmd_convert)
+
+    s = sub.add_parser("serve", help="range-capable HTTP server over recordings")
+    s.add_argument("--port", type=int, default=0)
+    s.set_defaults(fn=_cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)

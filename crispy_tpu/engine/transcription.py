@@ -314,6 +314,8 @@ def run_transcription(
             if cancel.is_set():
                 _finish(tm, bus, recording_path, "cancelled")
                 return None
+            from ..utils.tracing import stage as _stage
+
             batch = chunks[b0: b0 + batch_chunks]
             if diarization and diarization.get("enabled"):
                 # timestamped segments for speaker alignment (:272-280)
@@ -324,7 +326,9 @@ def run_transcription(
                             parts.append((s, min(e, total_seconds), text))
                 texts = [""] * batch.shape[0]
             else:
-                texts = tm.engine.transcribe_batch(batch, language=language)
+                with _stage("transcribe-batch", tm.bus,
+                            {"chunks": int(batch.shape[0])}):
+                    texts = tm.engine.transcribe_batch(batch, language=language)
                 for j, text in enumerate(texts):
                     cs = (b0 + j) * TRANSCRIBE_CHUNK_SECONDS
                     if text.strip():
