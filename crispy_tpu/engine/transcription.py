@@ -175,10 +175,53 @@ def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
                 return mm.transcribe_chunks(chunks, language=language)
 
         return _MoonshineEngine()
+    if info.engine_type == "parakeet":
+        import jax.numpy as jnp
+
+        from ..models import parakeet as pk
+        from ..dsp.mel import log_mel_spectrogram
+
+        if (path / "model.safetensors").exists() or (path / "pytorch_model.bin").exists():
+            if (path / "model.safetensors").exists():
+                from safetensors.numpy import load_file
+
+                sd = load_file(path / "model.safetensors")
+            else:
+                import torch
+
+                sd = {k: v.numpy() for k, v in torch.load(
+                    path / "pytorch_model.bin", map_location="cpu",
+                    weights_only=True).items()}
+            params, cfg = pk.from_hf_ctc_state_dict(sd)
+            params = {k: jnp.asarray(v) for k, v in params.items()}
+            tok = None
+            if (path / "tokenizer.json").exists():
+                from tokenizers import Tokenizer
+
+                tok = Tokenizer.from_file(str(path / "tokenizer.json"))
+
+            class _ParakeetCtcEngine(EngineProtocol):
+                name = model_id
+
+                def transcribe_batch(self, chunks, language="en"):
+                    mel = log_mel_spectrogram(jnp.asarray(np.atleast_2d(chunks)),
+                                              pad_to_chunk=True)
+                    logits = pk.ctc_logits(params, cfg, mel.swapaxes(-1, -2))
+                    seqs = pk.ctc_greedy(np.asarray(logits), cfg.blank_id)
+                    if tok is not None:
+                        return [tok.decode(s) for s in seqs]
+                    return [" ".join(map(str, s)) for s in seqs]
+
+            return _ParakeetCtcEngine()
+        raise NotImplementedError(
+            "this parakeet bundle ships NeMo/ONNX exports; drop an HF "
+            "ParakeetForCTC checkpoint into the model dir (the NeMo TDT "
+            "weight mapping lands with real checkpoints — the TDT decoder "
+            "itself is implemented in models/parakeet)"
+        )
     raise NotImplementedError(
         f"engine '{info.engine_type}' not yet implemented in the TPU build "
-        "(parakeet/gigaam/sensevoice/canary/cohere JAX ports land in "
-        "subsequent rounds)"
+        "(gigaam/sensevoice/canary/cohere JAX ports land in subsequent rounds)"
     )
 
 
