@@ -694,8 +694,10 @@ def _nn_scan(params, state, feats: jnp.ndarray, silence: jnp.ndarray):
 # The block step
 # ---------------------------------------------------------------------------
 
-def denoise_block(params, state, block: jnp.ndarray):
-    """One jitted step: block [S, F*480] in [-1, 1] → (new_state, out same shape)."""
+def frontend_block(params, state, block: jnp.ndarray):
+    """The analysis frontend: block [S, F*480] in [-1, 1] → (new_state,
+    dict of spectra/energies/features). Shared by denoising and training
+    (the trainer computes gain targets from these band energies)."""
     S, L = block.shape
     assert L % FRAME == 0, "block length must be a multiple of 480"
     F = L // FRAME
@@ -751,6 +753,19 @@ def denoise_block(params, state, block: jnp.ndarray):
         axis=-1,
     )  # [S, F, 42]
     feats = jnp.where(silence[..., None], 0.0, feats)
+    return state, {
+        "Xr": Xr, "Xi": Xi, "Ex": Ex, "Pr": Pr, "Pi": Pi, "Ep": Ep,
+        "Exp": Exp, "feats": feats, "silence": silence,
+    }
+
+
+def denoise_block(params, state, block: jnp.ndarray):
+    """One jitted step: block [S, F*480] in [-1, 1] → (new_state, out same shape)."""
+    S, L = block.shape
+    state, fr = frontend_block(params, state, block)
+    Xr, Xi, Ex = fr["Xr"], fr["Xi"], fr["Ex"]
+    Pr, Pi, Ep, Exp = fr["Pr"], fr["Pi"], fr["Ep"], fr["Exp"]
+    feats, silence = fr["feats"], fr["silence"]
 
     # Network.
     (graw, gsmooth, vad), nn_state = _nn_scan(params, state, feats, silence)

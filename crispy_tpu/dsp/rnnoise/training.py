@@ -1,0 +1,224 @@
+"""RNNoise training: synthetic data → gain/VAD targets → quantized model.
+
+The reference consumes pre-trained weights it cannot produce; this module
+owns the training side natively so the framework can mint working denoiser
+models offline. Following the public RNNoise recipe:
+
+  * mixtures of clean (synthetic voiced harmonics with envelopes and
+    silences) and noise (filtered broadband) at random SNR,
+  * per-frame targets: ideal band gains sqrt(E_clean[b] / E_noisy[b])
+    clipped to [0, 1] on the SAME analysis grid (the pipeline's own
+    frontend computes both), VAD = ground-truth voicing,
+  * the DP x TP sharded training step from parallel/train (smooth
+    activations), then int8 quantization into the C weight layout
+    (clip(round(256 w))/256) so inference matches the reference's
+    arithmetic exactly.
+
+`train_model()` returns an RNNoiseModel ready for weights.save(); the
+repo's builtin model was minted with tools/train_rnnoise.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+from . import jax_pipeline as jp
+from .weights import RNNoiseModel, from_c_layout
+
+FRAME = C.FRAME_SIZE
+
+
+# ---------------------------------------------------------------------------
+# Synthetic data
+# ---------------------------------------------------------------------------
+
+def synth_batch(rng: np.random.Generator, S: int, F: int, sr: int = 48000):
+    """Returns (clean [S, L], noisy [S, L], voiced [S, F]) in [-1, 1]."""
+    L = F * FRAME
+    t = np.arange(L) / sr
+    clean = np.zeros((S, L), np.float32)
+    voiced = np.zeros((S, F), np.float32)
+    for s in range(S):
+        f0 = rng.uniform(70, 320)
+        n_harm = rng.integers(4, 12)
+        phases = rng.uniform(0, 2 * np.pi, n_harm)
+        sig = sum(
+            (rng.uniform(0.3, 1.0) / (k + 1)) * np.sin(2 * np.pi * f0 * (k + 1) * t + phases[k])
+            for k in range(n_harm)
+        )
+        # amplitude envelope with voiced/unvoiced stretches
+        env = np.zeros(F)
+        f = 0
+        while f < F:
+            seg = int(rng.integers(5, 40))
+            on = rng.random() < 0.7
+            env[f: f + seg] = rng.uniform(0.2, 1.0) if on else 0.0
+            f += seg
+        env_s = np.repeat(env, FRAME)[:L]
+        # smooth envelope edges
+        from scipy.signal import fftconvolve
+
+        k = np.hanning(961)
+        k /= k.sum()
+        env_s = fftconvolve(env_s, k, mode="same")
+        clean[s] = (0.3 * sig * env_s).astype(np.float32)
+        voiced[s] = (env > 0.05).astype(np.float32)
+
+    # broadband noise with random spectral tilt
+    white = rng.standard_normal((S, L)).astype(np.float32)
+    tilt = rng.uniform(0.0, 0.95, (S, 1)).astype(np.float32)
+    noise = np.empty_like(white)
+    noise[:, 0] = white[:, 0]
+    for s in range(S):  # one-pole lowpass per stream (vectorized via lfilter)
+        from scipy.signal import lfilter
+
+        noise[s] = lfilter([1.0], [1.0, -float(tilt[s, 0])], white[s]).astype(np.float32)
+    noise /= np.maximum(np.abs(noise).max(axis=1, keepdims=True), 1e-6)
+    snr_db = rng.uniform(-5, 25, (S, 1)).astype(np.float32)
+    c_rms = np.sqrt(np.mean(clean**2, axis=1, keepdims=True) + 1e-9)
+    n_rms = np.sqrt(np.mean(noise**2, axis=1, keepdims=True) + 1e-9)
+    noise = noise * (c_rms / n_rms) * (10 ** (-snr_db / 20))
+    noisy = np.clip(clean + noise, -1.0, 1.0)
+    return clean, noisy, voiced
+
+
+# ---------------------------------------------------------------------------
+# Targets through the pipeline's own frontend
+# ---------------------------------------------------------------------------
+
+def _clean_band_energy(params, state, block):
+    """Band energies of the clean signal on the same HP/window grid."""
+    S, L = block.shape
+    F = L // FRAME
+    x = (block.astype(jnp.float32) * 32768.0).reshape(S, F, FRAME)
+    state, hp = jp._hp_biquad(params, state, x)
+    ext = jnp.concatenate([state["hp_tail"], hp.reshape(S, -1)], axis=-1)
+    state = dict(state)
+    state["hp_tail"] = ext[:, -(jp.HIST + 1):]
+    awin = jp._windows(ext[:, 1 + jp.HIST - FRAME:], FRAME, jp.WIN, F)
+    Xr, Xi = jp._spectrum(params, awin)
+    return state, jp._band_energy(params, Xr, Xi)
+
+
+def make_batch(params, rng: np.random.Generator, S: int, F: int) -> Dict[str, np.ndarray]:
+    """features [S,F,42], gains [S,F,22], vad [S,F], mask [S,F]."""
+    clean, noisy, voiced = synth_batch(rng, S, F)
+    state = jp.init_state(S)
+    state, fr = jax.jit(jp.frontend_block)(params, state, jnp.asarray(noisy))
+    cstate = jp.init_state(S)
+    _, Ec = jax.jit(_clean_band_energy)(params, cstate, jnp.asarray(clean))
+    Ex = np.asarray(fr["Ex"])
+    Ec = np.asarray(Ec)
+    gains = np.sqrt(np.clip(Ec / np.maximum(Ex, 1e-8), 0.0, 1.0)).astype(np.float32)
+    silence = np.asarray(fr["silence"])
+    return {
+        "features": np.asarray(fr["feats"]),
+        "gains": gains,
+        "vad": voiced.astype(np.float32),
+        "mask": (~silence).astype(np.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Training + quantization
+# ---------------------------------------------------------------------------
+
+def quantize_to_model(train_params: Dict[str, jnp.ndarray], name: str = "trained") -> RNNoiseModel:
+    """Round to the reference's int8/256 grid and build an RNNoiseModel."""
+    def q(x):
+        return np.clip(np.round(np.asarray(x, np.float64) * 256.0), -128, 127).astype(np.float32)
+
+    arrays = {
+        "input_dense_weights": q(train_params["input_dense.w"]).reshape(-1),
+        "input_dense_bias": q(train_params["input_dense.b"]),
+        "denoise_output_weights": q(train_params["denoise_output.w"]).reshape(-1),
+        "denoise_output_bias": q(train_params["denoise_output.b"]),
+        "vad_output_weights": q(train_params["vad_output.w"]).reshape(-1),
+        "vad_output_bias": q(train_params["vad_output.b"]),
+    }
+    for g in ("vad_gru", "noise_gru", "denoise_gru"):
+        n = train_params[f"{g}.u"].shape[0]
+        # our [in, 3N] layout flattens directly into the C stride-3N layout
+        arrays[f"{g}_weights"] = q(train_params[f"{g}.w"]).reshape(-1)
+        arrays[f"{g}_recurrent_weights"] = q(train_params[f"{g}.u"]).reshape(-1)
+        arrays[f"{g}_bias"] = q(train_params[f"{g}.b"]).reshape(-1)
+    return from_c_layout(arrays, name=name)
+
+
+def train_model(
+    steps: int = 300,
+    batch_streams: int = 16,
+    frames: int = 100,
+    seed: int = 0,
+    learning_rate: float = 1e-3,
+    mesh=None,
+    log_every: int = 50,
+    weight_decay_to_int8: bool = True,
+) -> Tuple[RNNoiseModel, list]:
+    """Train on synthetic mixtures; returns (quantized model, loss curve)."""
+    from ...parallel import make_mesh
+    from ...parallel import train as ptrain
+    import optax
+
+    mesh = mesh or make_mesh()
+    pipe_params = jp.make_params()  # DSP tables only (weights unused here)
+    rng = np.random.default_rng(seed)
+
+    # masked loss variant: ignore silence frames
+    def loss_fn(params, batch):
+        gains, vad = ptrain.forward(params, batch["features"])
+        m = batch["mask"][..., None]
+        g_loss = jnp.sum(m * (jnp.sqrt(gains + 1e-8) - jnp.sqrt(batch["gains"] + 1e-8)) ** 2)
+        g_loss = g_loss / jnp.maximum(jnp.sum(m) * C.NB_BANDS, 1.0) * C.NB_BANDS
+        v = jnp.clip(vad, 1e-6, 1 - 1e-6)
+        v_loss = -(batch["vad"] * jnp.log(v) + (1 - batch["vad"]) * jnp.log(1 - v))
+        v_loss = jnp.sum(batch["mask"] * v_loss) / jnp.maximum(jnp.sum(batch["mask"]), 1.0)
+        return g_loss + 0.5 * v_loss
+
+    opt = optax.adam(learning_rate)
+    # small random init (NOT the test model: train from scratch)
+    tparams = {}
+    init_rng = np.random.default_rng(seed + 1)
+    base = ptrain.init_train_params()
+    for k, v in base.items():
+        if k.endswith(".w") or k.endswith(".u"):
+            tparams[k] = jnp.asarray(
+                (init_rng.standard_normal(v.shape) * 0.08).astype(np.float32))
+        else:
+            tparams[k] = jnp.zeros_like(v)
+    opt_state = opt.init(tparams)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        batch = make_batch(pipe_params, rng, batch_streams, frames)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        tparams, opt_state, loss = step(tparams, opt_state, batch)
+        if i % log_every == 0 or i == steps - 1:
+            losses.append(float(loss))
+    model = quantize_to_model(tparams, name=f"synthetic-{steps}steps")
+    return model, losses
+
+
+def snr_improvement(model: RNNoiseModel, seed: int = 123, F: int = 60) -> float:
+    """Denoise a held-out mixture; returns SNR gain in dB (clean reference)."""
+    rng = np.random.default_rng(seed)
+    clean, noisy, _ = synth_batch(rng, 2, F)
+    params = jp.make_params(model)
+    out = jp.denoise_batch(noisy, params=params, block_frames=F)
+    # skip warmup frames
+    s = slice(3 * FRAME, None)
+    def snr(x):
+        err = x[:, s] - clean[:, s]
+        return 10 * np.log10(np.mean(clean[:, s] ** 2) / np.maximum(np.mean(err ** 2), 1e-12))
+    return float(snr(out) - snr(noisy))

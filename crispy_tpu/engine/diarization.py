@@ -454,8 +454,18 @@ def run_diarization(
 ) -> str:
     """Transcription hand-off: diarize + interleave with word segments.
 
-    Uses the downloaded pyannote/CAM++ weights when the registry has them
-    (JAX ports pending); falls back to the built-in nets otherwise.
+    Uses the downloaded segmentation weights when the registry has them;
+    falls back to the built-in nets otherwise (embedding stays the log-mel
+    stats fallback until the CAM++ port lands).
     """
-    segs = diarize(audio_16k, sample_rate, max_speakers, merge_gap)
+    seg_fn = energy_vad_logits
+    if model_manager is not None and model_manager.is_downloaded("diarize-segmentation"):
+        try:
+            from ..models.segmentation import from_onnx
+
+            seg_fn = from_onnx(model_manager.model_path("diarize-segmentation"))
+        except Exception:
+            pass  # unexpected graph layout: degrade to the energy VAD
+    segs = diarize(audio_16k, sample_rate, max_speakers, merge_gap,
+                   segmentation_fn=seg_fn)
     return format_diarized_text(text_segments, segs)
