@@ -211,14 +211,20 @@ def train_model(
 
 
 def snr_improvement(model: RNNoiseModel, seed: int = 123, F: int = 60) -> float:
-    """Denoise a held-out mixture; returns SNR gain in dB (clean reference)."""
+    """Denoise a held-out mixture; returns SNR gain in dB (clean reference).
+
+    The pipeline output lags the input by one frame (windowed analysis/
+    synthesis); the comparison aligns for that.
+    """
     rng = np.random.default_rng(seed)
     clean, noisy, _ = synth_batch(rng, 2, F)
     params = jp.make_params(model)
     out = jp.denoise_batch(noisy, params=params, block_frames=F)
-    # skip warmup frames
-    s = slice(3 * FRAME, None)
+    s0, s1 = 5 * FRAME, (F - 2) * FRAME
+    ref = clean[:, s0 - FRAME: s1 - FRAME]
+
     def snr(x):
-        err = x[:, s] - clean[:, s]
-        return 10 * np.log10(np.mean(clean[:, s] ** 2) / np.maximum(np.mean(err ** 2), 1e-12))
-    return float(snr(out) - snr(noisy))
+        err = x - ref
+        return 10 * np.log10(np.mean(ref ** 2) / np.maximum(np.mean(err ** 2), 1e-12))
+
+    return float(snr(out[:, s0:s1]) - snr(noisy[:, s0 - FRAME: s1 - FRAME]))
