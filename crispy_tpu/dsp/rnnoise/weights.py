@@ -218,7 +218,7 @@ def builtin_model() -> RNNoiseModel:
 
     Priority: ``rnnoise.npz`` in the user models dir (drop-in for the
     original trained weights) → the packaged model trained in-repo on
-    synthetic mixtures (tools/train_rnnoise.py; +2.8 dB held-out SNR) →
+    synthetic mixtures (tools/train_rnnoise.py; +8 dB held-out SNR at 0 dB input) →
     the deterministic test model.
     """
     global _BUILTIN
