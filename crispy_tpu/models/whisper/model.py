@@ -217,7 +217,7 @@ def _decode_step(params, cfg: WhisperConfig, tok, pos, self_k, self_v, cross_k, 
     return jnp.einsum("btd,vd->btv", x, params["dec.emb"])[:, 0, :], self_k, self_v
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_new", "suppress_blank"))
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new"))
 def greedy_decode(
     params,
     cfg: WhisperConfig,
@@ -225,7 +225,6 @@ def greedy_decode(
     prompt: jnp.ndarray,
     max_new: int = 224,
     eot: Optional[int] = None,
-    suppress_blank: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched greedy decode.
 

@@ -35,7 +35,9 @@ class TestMixer:
         app = 0.25 * np.ones(rec.MIX_FRAME // 2, np.float32)
         state.mic_ring.push(mic)
         state.app_ring.push(app)
-        time.sleep(0.3)
+        deadline = time.time() + 5
+        while len(state.mic_ring) >= rec.MIX_FRAME and time.time() < deadline:
+            time.sleep(0.02)
         out = rec.do_stop_recording(state)
         audio, sr = wavio.read_wav(out)
         assert sr == rec.SAMPLE_RATE and audio.shape[1] == 2
@@ -66,7 +68,9 @@ class TestMixer:
         state = rec.RecordingState()
         rec.do_start_recording(state, app_source=rec.FileSource(src_wav))
         state.mic_ring.push(np.zeros(24000, np.float32))
-        time.sleep(0.4)
+        deadline = time.time() + 5
+        while len(state.mic_ring) >= rec.MIX_FRAME and time.time() < deadline:
+            time.sleep(0.02)
         out = rec.do_stop_recording(state)
         audio, _ = wavio.read_wav(out)
         assert np.abs(audio[:, 0] - 0.1).max() < 1e-2  # app audio present
