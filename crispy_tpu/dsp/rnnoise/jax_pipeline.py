@@ -767,8 +767,14 @@ def denoise_block(params, state, block: jnp.ndarray):
     Pr, Pi, Ep, Exp = fr["Pr"], fr["Pi"], fr["Ep"], fr["Exp"]
     feats, silence = fr["feats"], fr["silence"]
 
-    # Network.
-    (graw, gsmooth, vad), nn_state = _nn_scan(params, state, feats, silence)
+    # Network: fused Pallas scan on TPU (weights VMEM-resident, state in
+    # scratch across frames), XLA scan elsewhere.
+    if _use_matmul_dft():
+        from .pallas_rnn import nn_scan_pallas
+
+        (graw, gsmooth, vad), nn_state = nn_scan_pallas(params, state, feats, silence)
+    else:
+        (graw, gsmooth, vad), nn_state = _nn_scan(params, state, feats, silence)
     state.update(nn_state)
 
     # Pitch filter (raw gains), then smoothed-gain application.

@@ -115,3 +115,24 @@ class TestBlockParity:
         pidx, _, _ = jp._pitch_index(params, state2, ext, 16)
         got = np.asarray(pidx)[0]
         assert np.array_equal(got, np.array(want)), f"{got} vs {want}"
+
+
+class TestPallasNnScan:
+    def test_fused_kernel_matches_xla_scan(self, model, params):
+        """pallas_rnn (interpret mode on CPU) == _nn_scan bit-near-exactly,
+        including silence gating, lastg smoothing and state carry."""
+        import jax.numpy as jnp
+
+        from crispy_tpu.dsp.rnnoise import pallas_rnn as pr
+
+        rng = np.random.default_rng(11)
+        S, F = 3, 9  # not a multiple of the kernel's stream block
+        feats = jnp.asarray(rng.standard_normal((S, F, 42)).astype(np.float32))
+        sil = jnp.asarray(rng.random((S, F)) < 0.3)
+        state = jp.init_state(S)
+        (a1, a2, a3), st_a = jp._nn_scan(params, state, feats, sil)
+        (b1, b2, b3), st_b = pr.nn_scan_pallas(params, state, feats, sil, interpret=True)
+        for x, y in ((a1, b1), (a2, b2), (a3, b3)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+        for k in st_a:
+            np.testing.assert_allclose(np.asarray(st_a[k]), np.asarray(st_b[k]), atol=1e-6)
