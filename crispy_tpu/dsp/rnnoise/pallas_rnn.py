@@ -13,8 +13,6 @@ the 0.04 grid point + the table-interpolation correction).
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ repo's builtin model was minted with tools/train_rnnoise.py.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

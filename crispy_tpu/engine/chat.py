@@ -14,7 +14,7 @@ from __future__ import annotations
 import json
 import threading
 import urllib.request
-from typing import Callable, Dict, List, Optional
+from typing import Dict, List
 
 from ..api.events import BUS, EventBus
 from ..utils import settings as settings_mod

@@ -19,7 +19,7 @@ of streams) in fixed blocks at thousands of times real time.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

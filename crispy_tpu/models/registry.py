@@ -17,9 +17,9 @@ import threading
 import time
 import urllib.error
 import urllib.request
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, asdict
 from pathlib import Path
-from typing import Dict, List, Optional, Set
+from typing import List, Optional, Set
 
 from ..api.events import BUS, EventBus
 from ..utils import paths

@@ -6,7 +6,7 @@ Replaces the reference's whisper.cpp engine (managers/transcription.rs:124).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

@@ -10,7 +10,7 @@ needed only for initial-prompt conditioning and is provided greedily.
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 

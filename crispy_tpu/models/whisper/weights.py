@@ -25,7 +25,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .model import CONFIGS, WhisperConfig, sinusoids
+from .model import WhisperConfig, sinusoids
 
 
 def init_random(cfg: WhisperConfig, seed: int = 0, dtype=np.float32) -> Dict[str, np.ndarray]:

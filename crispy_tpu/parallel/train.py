@@ -13,7 +13,6 @@ per-step matmuls run as TP matmuls with XLA-inserted ICI collectives.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax

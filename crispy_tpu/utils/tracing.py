@@ -18,7 +18,7 @@ import contextlib
 import os
 import sys
 import time
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 from ..api.events import BUS, EventBus
 
