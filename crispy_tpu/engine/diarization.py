@@ -454,9 +454,10 @@ def run_diarization(
 ) -> str:
     """Transcription hand-off: diarize + interleave with word segments.
 
-    Uses the downloaded segmentation weights when the registry has them;
-    falls back to the built-in nets otherwise (embedding stays the log-mel
-    stats fallback until the CAM++ port lands).
+    Uses the downloaded segmentation/embedding weights when the registry has
+    them (pyannote segmentation-3.0 + WeSpeaker CAM++, the reference's pair,
+    diarization.rs:40-75); degrades per-net to the built-in fallbacks on any
+    unexpected graph layout.
     """
     seg_fn = energy_vad_logits
     if model_manager is not None and model_manager.is_downloaded("diarize-segmentation"):
@@ -466,6 +467,14 @@ def run_diarization(
             seg_fn = from_onnx(model_manager.model_path("diarize-segmentation"))
         except Exception:
             pass  # unexpected graph layout: degrade to the energy VAD
+    emb_fn = melstats_embedding
+    if model_manager is not None and model_manager.is_downloaded("diarize-embedding"):
+        try:
+            from ..models.campplus import from_onnx as campplus_from_onnx
+
+            emb_fn = campplus_from_onnx(model_manager.model_path("diarize-embedding"))
+        except Exception:
+            pass  # unexpected graph layout: degrade to log-mel stats
     segs = diarize(audio_16k, sample_rate, max_speakers, merge_gap,
-                   segmentation_fn=seg_fn)
+                   segmentation_fn=seg_fn, embedding_fn=emb_fn)
     return format_diarized_text(text_segments, segs)
