@@ -219,9 +219,48 @@ def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
             "weight mapping lands with real checkpoints — the TDT decoder "
             "itself is implemented in models/parakeet)"
         )
+    if info.engine_type == "canary":
+        import json
+
+        import jax.numpy as jnp
+
+        from ..models import canary as cn
+        from ..models import parakeet as pk
+        from ..models.spm import SentencePieceVocab
+        from ..dsp.fbank import fbank
+
+        if not (path / "params.npz").exists():
+            raise NotImplementedError(
+                "this canary bundle ships a NeMo export; prepare the JAX "
+                "bundle (params.npz in models/canary layout + config.json + "
+                "tokenizer.model) — the NeMo weight mapping lands with real "
+                "checkpoint files (decoder/encoder are implemented in "
+                "models/canary)"
+            )
+        raw = json.loads((path / "config.json").read_text())
+        if "config" in raw:
+            cfg = cn.CONFIGS[raw["config"]]
+        else:
+            cfg = cn.CanaryConfig(
+                encoder=pk.ParakeetConfig(**raw.pop("encoder", {})), **raw)
+        params = {k: jnp.asarray(v)
+                  for k, v in np.load(path / "params.npz").items()}
+        vocab = SentencePieceVocab.load(path / "tokenizer.model")
+
+        class _CanaryEngine(EngineProtocol):
+            name = model_id
+
+            def transcribe_batch(self, chunks, language="en"):
+                feats = fbank(jnp.asarray(np.atleast_2d(chunks)),
+                              cfg.encoder.n_mels)
+                tokens, lengths = cn.greedy_decode(params, cfg, feats)
+                tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+                return [vocab.decode(row[:n]) for row, n in zip(tokens, lengths)]
+
+        return _CanaryEngine()
     raise NotImplementedError(
         f"engine '{info.engine_type}' not yet implemented in the TPU build "
-        "(gigaam/sensevoice/canary/cohere JAX ports land in subsequent rounds)"
+        "(gigaam/sensevoice/cohere JAX ports land in subsequent rounds)"
     )
 
 

@@ -1,0 +1,108 @@
+"""SentencePiece .model parser + the prepared-bundle Canary engine."""
+
+import json
+
+import numpy as np
+import pytest
+
+from crispy_tpu.models.spm import (
+    BYTE, CONTROL, NORMAL, UNKNOWN, SentencePieceVocab, build_model_bytes,
+)
+
+
+def _vocab():
+    pieces = ["<unk>", "<s>", "</s>", "▁hello", "▁wor", "ld", "▁", "a", "b"]
+    types = [UNKNOWN, CONTROL, CONTROL, NORMAL, NORMAL, NORMAL, NORMAL,
+             NORMAL, NORMAL]
+    for i in range(256):
+        pieces.append(f"<0x{i:02X}>")
+        types.append(BYTE)
+    return pieces, types
+
+
+def test_round_trip_through_wire_format():
+    pieces, types = _vocab()
+    v = SentencePieceVocab.from_bytes(build_model_bytes(pieces, types))
+    assert len(v) == len(pieces)
+    assert v.pieces[3] == "▁hello"
+    assert v.is_control(1) and v.is_control(2) and v.is_control(0)
+    assert not v.is_control(3)
+
+
+def test_decode_metaspace_and_controls():
+    pieces, types = _vocab()
+    v = SentencePieceVocab(pieces, types)
+    ids = [1, 3, 4, 5, 2]  # <s> ▁hello ▁wor ld </s>
+    assert v.decode(ids) == "hello world"
+
+
+def test_decode_byte_pieces_utf8():
+    pieces, types = _vocab()
+    v = SentencePieceVocab(pieces, types)
+    base = 9  # first byte piece id
+    euro = [base + b for b in "€".encode("utf-8")]
+    assert v.decode([3] + euro) == "hello€"
+
+
+def test_encode_greedy_longest_match():
+    pieces, types = _vocab()
+    v = SentencePieceVocab(pieces, types)
+    ids = v.encode("hello world")
+    assert ids == [3, 4, 5]
+    assert v.decode(ids) == "hello world"
+
+
+def test_encode_unknown_char_byte_fallback():
+    pieces, types = _vocab()
+    v = SentencePieceVocab(pieces, types)
+    ids = v.encode("hello é")
+    assert v.decode(ids) == "hello é"
+
+
+def test_load_from_file(tmp_path):
+    pieces, types = _vocab()
+    p = tmp_path / "tokenizer.model"
+    p.write_bytes(build_model_bytes(pieces, types))
+    v = SentencePieceVocab.load(p)
+    assert v.decode([3, 4, 5]) == "hello world"
+    assert v.id("▁hello") == 3
+
+
+def test_rejects_non_spm():
+    with pytest.raises(ValueError, match="no sentencepiece"):
+        SentencePieceVocab.from_bytes(b"")
+
+
+def test_canary_engine_from_prepared_bundle(tmp_path):
+    """load_engine boots a Canary bundle (params.npz + config + spm) and
+    produces decoded text end-to-end (random weights, structural check)."""
+    from crispy_tpu.engine.transcription import load_engine
+    from crispy_tpu.models import canary as cn
+    from crispy_tpu.models.registry import ModelManager
+
+    cfg = cn.CONFIGS["test-random"]
+    mm = ModelManager(models_dir=tmp_path / "Models")
+    bundle = mm.model_path("canary-180m-flash")
+    bundle.mkdir(parents=True)
+    np.savez(bundle / "params.npz", **cn.init_random(cfg, seed=0))
+    (bundle / "config.json").write_text(json.dumps({"config": "test-random"}))
+    pieces = ["<unk>"] + [f"▁w{i}" for i in range(cfg.vocab_size - 3)] + ["<s>", "</s>"]
+    types = [UNKNOWN] + [NORMAL] * (cfg.vocab_size - 3) + [CONTROL, CONTROL]
+    (bundle / "tokenizer.model").write_bytes(build_model_bytes(pieces, types))
+
+    eng = load_engine("canary-180m-flash", mm)
+    sr = 16000
+    t = np.arange(sr) / sr
+    audio = (0.2 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    out = eng.transcribe_batch([audio, audio * 0.5])
+    assert len(out) == 2 and all(isinstance(s, str) for s in out)
+
+
+def test_canary_engine_requires_prepared_bundle(tmp_path):
+    from crispy_tpu.engine.transcription import load_engine
+    from crispy_tpu.models.registry import ModelManager
+
+    mm = ModelManager(models_dir=tmp_path / "Models")
+    mm.model_path("canary-180m-flash").mkdir(parents=True)  # NeMo-style: empty
+    with pytest.raises(NotImplementedError, match="params.npz"):
+        load_engine("canary-180m-flash", mm)
