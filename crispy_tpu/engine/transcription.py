@@ -258,9 +258,42 @@ def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
                 return [vocab.decode(row[:n]) for row, n in zip(tokens, lengths)]
 
         return _CanaryEngine()
+    if info.engine_type == "gigaam":
+        import json
+
+        import jax.numpy as jnp
+
+        from ..models import parakeet as pk
+        from ..dsp.fbank import fbank
+
+        if not (path / "params.npz").exists():
+            raise NotImplementedError(
+                "this gigaam bundle ships a NeMo/ONNX export; prepare the "
+                "JAX bundle (params.npz in models/parakeet FastConformer "
+                "layout with sub_factor=4, config.json with encoder dims + "
+                "labels) — GigaAM's conformer-CTC runs on the same encoder "
+                "module"
+            )
+        raw = json.loads((path / "config.json").read_text())
+        cfg = pk.ParakeetConfig(**raw.get("encoder", {}))
+        labels = raw["labels"]  # id → string; blank is cfg.blank_id
+        params = {k: jnp.asarray(v)
+                  for k, v in np.load(path / "params.npz").items()}
+
+        class _GigaamEngine(EngineProtocol):
+            name = model_id
+
+            def transcribe_batch(self, chunks, language="ru"):
+                feats = fbank(jnp.asarray(np.atleast_2d(chunks)), cfg.n_mels)
+                logits = pk.ctc_logits(params, cfg, feats)
+                seqs = pk.ctc_greedy(np.asarray(logits), cfg.blank_id)
+                return ["".join(labels[i] for i in s if i < len(labels)).strip()
+                        for s in seqs]
+
+        return _GigaamEngine()
     raise NotImplementedError(
         f"engine '{info.engine_type}' not yet implemented in the TPU build "
-        "(gigaam/sensevoice/cohere JAX ports land in subsequent rounds)"
+        "(sensevoice/cohere JAX ports land in subsequent rounds)"
     )
 
 

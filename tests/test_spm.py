@@ -106,3 +106,40 @@ def test_canary_engine_requires_prepared_bundle(tmp_path):
     mm.model_path("canary-180m-flash").mkdir(parents=True)  # NeMo-style: empty
     with pytest.raises(NotImplementedError, match="params.npz"):
         load_engine("canary-180m-flash", mm)
+
+
+def test_gigaam_engine_from_prepared_bundle(tmp_path):
+    """GigaAM conformer-CTC boots from a prepared bundle with 4x subsampling
+    and a char label map (Russian CTC vocab)."""
+    from crispy_tpu.engine.transcription import load_engine
+    from crispy_tpu.models import parakeet as pk
+    from crispy_tpu.models.registry import ModelManager
+
+    enc = dict(n_mels=64, hidden_size=64, layers=2, heads=2, kv_heads=2,
+               intermediate_size=128, sub_channels=32, sub_factor=4,
+               vocab_size=34)
+    cfg = pk.ParakeetConfig(**enc)
+    labels = [" "] + [chr(0x430 + i) for i in range(32)] + ["ё"]
+    mm = ModelManager(models_dir=tmp_path / "Models")
+    bundle = mm.model_path("gigaam-v3-e2e-ctc")
+    bundle.mkdir(parents=True)
+    np.savez(bundle / "params.npz", **pk.init_random(cfg, seed=0))
+    (bundle / "config.json").write_text(
+        json.dumps({"encoder": enc, "labels": labels}))
+
+    eng = load_engine("gigaam-v3-e2e-ctc", mm)
+    sr = 16000
+    t = np.arange(sr) / sr
+    audio = (0.2 * np.sin(2 * np.pi * 250 * t)).astype(np.float32)
+    out = eng.transcribe_batch([audio])
+    assert len(out) == 1 and isinstance(out[0], str)
+
+
+def test_gigaam_engine_requires_prepared_bundle(tmp_path):
+    from crispy_tpu.engine.transcription import load_engine
+    from crispy_tpu.models.registry import ModelManager
+
+    mm = ModelManager(models_dir=tmp_path / "Models")
+    mm.model_path("gigaam-v3-e2e-ctc").mkdir(parents=True)
+    with pytest.raises(NotImplementedError, match="params.npz"):
+        load_engine("gigaam-v3-e2e-ctc", mm)
