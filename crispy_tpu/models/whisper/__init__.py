@@ -10,7 +10,9 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from .model import CONFIGS, WhisperConfig, decode_logits, encode, greedy_decode
+from .model import (
+    CONFIGS, WhisperConfig, decode_logits, encode, greedy_decode, sample_decode,
+)
 from .tokenizer import WhisperTokenizer
 from .weights import from_hf_state_dict, init_random, load_ggml, load_hf
 
@@ -70,6 +72,66 @@ class WhisperModel:
         tokens, lengths = np.asarray(tokens), np.asarray(lengths)
         return [tok.decode(tokens[b, : lengths[b]]) for b in range(a.shape[0])]
 
+    def transcribe_chunks_robust(
+        self,
+        audio_16k: np.ndarray,
+        language: str = "en",
+        max_new: int = 224,
+        temperatures: Tuple[float, ...] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+        compression_ratio_threshold: float = 2.4,
+        logprob_threshold: float = -1.0,
+        no_speech_threshold: float = 0.6,
+        seed: int = 0,
+    ) -> List[str]:
+        """Quality-gated decoding with the Whisper temperature-fallback
+        policy: greedy first; a chunk whose output is degenerate
+        (zlib compression ratio > threshold → looping/repetition) or
+        low-confidence (avg logprob < threshold) re-decodes at the next
+        temperature. Chunks whose no_speech probability exceeds the
+        threshold while confidence stays low are emitted as silence.
+        The whole ladder reuses ONE compilation (temperature is traced);
+        each retry re-decodes the full batch and keeps rows that already
+        passed, so shapes never change.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from ...dsp.mel import log_mel_spectrogram
+
+        a = np.atleast_2d(np.asarray(audio_16k, dtype=np.float32))
+        B = a.shape[0]
+        mel = log_mel_spectrogram(jnp.asarray(a), n_mels=self.cfg.n_mels,
+                                  pad_to_chunk=True)
+        tok = self.tokenizer
+        prompt = jnp.asarray(np.tile(
+            np.array(tok.sot_sequence(language=language), np.int32), (B, 1)))
+        ns_id = jnp.int32(min(tok.no_speech, self.cfg.n_vocab - 1))
+
+        results: List[Optional[str]] = [None] * B
+        for t_i, temp in enumerate(temperatures):
+            key = jax.random.PRNGKey(seed + t_i)
+            tokens, lengths, lp_sum, ns_prob = sample_decode(
+                self.params, self.cfg, mel, prompt, jnp.float32(temp), key,
+                ns_id, max_new=max_new, eot=tok.eot)
+            tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+            lp_sum, ns_prob = np.asarray(lp_sum), np.asarray(ns_prob)
+            last = t_i == len(temperatures) - 1
+            for b in range(B):
+                if results[b] is not None:
+                    continue
+                text = tok.decode(tokens[b, : lengths[b]])
+                avg_lp = float(lp_sum[b]) / (int(lengths[b]) + 1)
+                degenerate = compression_ratio(text) > compression_ratio_threshold
+                low_conf = avg_lp < logprob_threshold
+                if (degenerate or low_conf) and not last:
+                    continue  # fall back to the next temperature
+                if float(ns_prob[b]) > no_speech_threshold and low_conf:
+                    text = ""  # confident silence (whisper no-speech gate)
+                results[b] = text
+            if all(r is not None for r in results):
+                break
+        return [r if r is not None else "" for r in results]
+
     def transcribe_chunk_with_timestamps(
         self, audio_16k: np.ndarray, offset_seconds: float = 0.0,
         language: str = "en", max_new: int = 224,
@@ -93,6 +155,16 @@ class WhisperModel:
         )
         ids = np.asarray(tokens)[0, : int(np.asarray(lengths)[0])].tolist()
         return parse_timestamp_segments(ids, tok, offset_seconds, dur)
+
+
+def compression_ratio(text: str) -> float:
+    """len(utf-8)/len(zlib): > ~2.4 flags degenerate looping output."""
+    import zlib
+
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
 
 
 def parse_timestamp_segments(ids, tok: WhisperTokenizer, offset: float,

@@ -271,3 +271,79 @@ def greedy_decode(
     lengths = jnp.argmax(tokens == eot_id, axis=1)
     lengths = jnp.where(jnp.any(tokens == eot_id, axis=1), lengths, max_new)
     return tokens, lengths
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new"))
+def sample_decode(
+    params,
+    cfg: WhisperConfig,
+    mel_or_audio: jnp.ndarray,
+    prompt: jnp.ndarray,
+    temperature: jnp.ndarray,
+    rng: jnp.ndarray,
+    no_speech_id: jnp.ndarray,
+    max_new: int = 224,
+    eot: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode with traced temperature + quality metrics (one compilation
+    serves the whole fallback ladder).
+
+    temperature 0 → argmax (matches greedy_decode); >0 → categorical over
+    logits/temperature. Returns (tokens [B, max_new], lengths [B],
+    sum_logprob [B] — log-probs of the emitted tokens incl. the closing
+    eot, the whisper avg_logprob numerator — and no_speech_prob [B], the
+    probability mass on no_speech_id at the first post-SOT position).
+    """
+    audio = mel_or_audio
+    if audio.shape[-2] == cfg.n_mels:
+        audio = encode(params, cfg, audio)
+    B, P = prompt.shape
+    eot_id = cfg.eot if eot is None else eot
+    max_len = P + max_new
+    self_k, self_v, cross_k, cross_v = _init_cache(params, cfg, audio, max_len)
+
+    logits = None
+    no_speech_prob = jnp.zeros((B,), jnp.float32)
+    for p_i in range(P):
+        logits, self_k, self_v = _decode_step(
+            params, cfg, prompt[:, p_i], jnp.int32(p_i), self_k, self_v,
+            cross_k, cross_v, max_len,
+        )
+        if p_i == 0:  # distribution for the first generated position
+            probs = jax.nn.softmax(logits, axis=-1)
+            no_speech_prob = jnp.take(probs, no_speech_id, axis=1)
+
+    def pick(logits, key):
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        temp = jnp.maximum(temperature, 1e-6)
+        sampled = jax.random.categorical(key, logits / temp, axis=-1).astype(jnp.int32)
+        tok = jnp.where(temperature > 0, sampled, greedy)
+        lp = jnp.take_along_axis(jax.nn.log_softmax(logits, axis=-1),
+                                 tok[:, None], axis=-1)[:, 0]
+        return tok, lp
+
+    key0, key_rest = jax.random.split(rng)
+    first, lp0 = pick(logits, key0)
+
+    def step(carry, inp):
+        tok, done, lp_sum, self_k, self_v = carry
+        i, key = inp
+        logits, self_k, self_v = _decode_step(
+            params, cfg, tok, P + i, self_k, self_v, cross_k, cross_v, max_len
+        )
+        nxt, lp = pick(logits, key)
+        lp_sum = lp_sum + jnp.where(done, 0.0, lp)  # frozen rows stop scoring
+        nxt = jnp.where(done, eot_id, nxt)
+        done = done | (nxt == eot_id)
+        return (nxt, done, lp_sum, self_k, self_v), tok
+
+    done0 = first == eot_id
+    keys = jax.random.split(key_rest, max_new - 1)
+    (last, done, lp_sum, _, _), toks = lax.scan(
+        step, (first, done0, lp0, self_k, self_v),
+        (jnp.arange(max_new - 1), keys),
+    )
+    tokens = jnp.concatenate([jnp.moveaxis(toks, 0, 1), last[:, None]], axis=1)
+    lengths = jnp.argmax(tokens == eot_id, axis=1)
+    lengths = jnp.where(jnp.any(tokens == eot_id, axis=1), lengths, max_new)
+    return tokens, lengths, lp_sum, no_speech_prob

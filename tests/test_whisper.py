@@ -237,3 +237,101 @@ class TestTimestamps:
         segs = m.transcribe_chunk_with_timestamps(audio, offset_seconds=30.0, max_new=6)
         for s, e, t in segs:
             assert 30.0 <= s <= e <= 60.5 and isinstance(t, str)
+
+
+# ---------------------------------------------------------------------------
+# Temperature fallback / quality gates
+# ---------------------------------------------------------------------------
+
+def test_sample_decode_temp0_matches_greedy():
+    import jax
+    import jax.numpy as jnp
+
+    from crispy_tpu.models.whisper import WhisperModel
+    from crispy_tpu.models.whisper.model import greedy_decode, sample_decode
+
+    m = WhisperModel.random("test-random", seed=0)
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    from crispy_tpu.dsp.mel import log_mel_spectrogram
+
+    mel = log_mel_spectrogram(jnp.asarray(audio), n_mels=m.cfg.n_mels,
+                              pad_to_chunk=True)
+    prompt = jnp.asarray(np.tile(np.array(m.tokenizer.sot_sequence(), np.int32), (2, 1)))
+    t_g, l_g = greedy_decode(m.params, m.cfg, mel, prompt, max_new=16,
+                             eot=m.tokenizer.eot)
+    t_s, l_s, lp, ns = sample_decode(
+        m.params, m.cfg, mel, prompt, jnp.float32(0.0), jax.random.PRNGKey(0),
+        jnp.int32(0), max_new=16, eot=m.tokenizer.eot)
+    np.testing.assert_array_equal(np.asarray(t_g), np.asarray(t_s))
+    np.testing.assert_array_equal(np.asarray(l_g), np.asarray(l_s))
+    assert np.all(np.asarray(lp) <= 0.0)
+    assert np.all((np.asarray(ns) >= 0) & (np.asarray(ns) <= 1))
+
+
+def test_sample_decode_temperature_deterministic_per_key():
+    import jax
+    import jax.numpy as jnp
+
+    from crispy_tpu.models.whisper import WhisperModel
+    from crispy_tpu.models.whisper.model import sample_decode
+    from crispy_tpu.dsp.mel import log_mel_spectrogram
+
+    m = WhisperModel.random("test-random", seed=0)
+    audio = (0.1 * np.sin(np.arange(16000) / 20)).astype(np.float32)[None]
+    mel = log_mel_spectrogram(jnp.asarray(audio), n_mels=m.cfg.n_mels,
+                              pad_to_chunk=True)
+    prompt = jnp.asarray(np.array(m.tokenizer.sot_sequence(), np.int32))[None]
+    args = (m.params, m.cfg, mel, prompt)
+    t1, *_ = sample_decode(*args, jnp.float32(1.0), jax.random.PRNGKey(7),
+                           jnp.int32(0), max_new=16, eot=m.tokenizer.eot)
+    t2, *_ = sample_decode(*args, jnp.float32(1.0), jax.random.PRNGKey(7),
+                           jnp.int32(0), max_new=16, eot=m.tokenizer.eot)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_compression_ratio_flags_repetition():
+    from crispy_tpu.models.whisper import compression_ratio
+
+    assert compression_ratio("") == 0.0
+    assert compression_ratio("the quick brown fox jumps over the lazy dog") < 2.0
+    assert compression_ratio("again again again " * 40) > 2.4
+
+
+def test_transcribe_chunks_robust_passes_greedy_when_confident():
+    from crispy_tpu.models.whisper import WhisperModel
+
+    m = WhisperModel.random("test-random", seed=0)
+    rng = np.random.default_rng(1)
+    audio = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    greedy = m.transcribe_chunks(audio, max_new=16)
+    robust = m.transcribe_chunks_robust(
+        audio, max_new=16, temperatures=(0.0, 1.0),
+        compression_ratio_threshold=1e9, logprob_threshold=-1e9)
+    assert robust == greedy  # gates disabled → first (greedy) pass accepted
+
+
+def test_transcribe_chunks_robust_falls_back_on_low_confidence():
+    from crispy_tpu.models.whisper import WhisperModel
+
+    m = WhisperModel.random("test-random", seed=0)
+    rng = np.random.default_rng(2)
+    audio = rng.standard_normal((1, 16000)).astype(np.float32) * 0.1
+    # impossible logprob bar → every temperature fails → last one is kept
+    out = m.transcribe_chunks_robust(
+        audio, max_new=16, temperatures=(0.0, 0.5),
+        logprob_threshold=float("inf"), no_speech_threshold=2.0)
+    assert len(out) == 1 and isinstance(out[0], str)
+
+
+def test_transcribe_chunks_robust_no_speech_gate():
+    from crispy_tpu.models.whisper import WhisperModel
+
+    m = WhisperModel.random("test-random", seed=0)
+    rng = np.random.default_rng(3)
+    audio = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    # ns threshold below any prob + unreachable logprob bar → silence
+    out = m.transcribe_chunks_robust(
+        audio, max_new=16, temperatures=(0.0,),
+        logprob_threshold=float("inf"), no_speech_threshold=-1.0)
+    assert out == ["", ""]
