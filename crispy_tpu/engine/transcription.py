@@ -291,9 +291,43 @@ def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
                         for s in seqs]
 
         return _GigaamEngine()
+    if info.engine_type == "sensevoice":
+        import json
+
+        import jax.numpy as jnp
+
+        from ..models import sensevoice as sv
+        from ..models.spm import SentencePieceVocab
+        from ..dsp.fbank import fbank
+
+        if not (path / "params.npz").exists():
+            raise NotImplementedError(
+                "this sensevoice bundle ships a FunASR/ONNX export; prepare "
+                "the JAX bundle (params.npz in models/sensevoice layout + "
+                "config.json with prompt_ids + tokenizer.model)"
+            )
+        raw = json.loads((path / "config.json").read_text())
+        cfg = (sv.CONFIGS[raw["config"]] if "config" in raw
+               else sv.SenseVoiceConfig(**{k: v for k, v in raw.items()
+                                           if k != "prompt_ids"}))
+        prompt_ids = jnp.asarray(raw.get("prompt_ids", [0] * cfg.n_prompt),
+                                 jnp.int32)
+        params = {k: jnp.asarray(v)
+                  for k, v in np.load(path / "params.npz").items()}
+        vocab = SentencePieceVocab.load(path / "tokenizer.model")
+
+        class _SenseVoiceEngine(EngineProtocol):
+            name = model_id
+
+            def transcribe_batch(self, chunks, language="en"):
+                feats = fbank(jnp.asarray(np.atleast_2d(chunks)), cfg.feat_dim)
+                logits = sv.ctc_logits(params, cfg, feats, prompt_ids)
+                return [vocab.decode(s) for s in sv.ctc_greedy(logits, cfg)]
+
+        return _SenseVoiceEngine()
     raise NotImplementedError(
         f"engine '{info.engine_type}' not yet implemented in the TPU build "
-        "(sensevoice/cohere JAX ports land in subsequent rounds)"
+        "(the cohere JAX port lands in a subsequent round)"
     )
 
 
