@@ -151,7 +151,9 @@ def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
             name = model_id
 
             def transcribe_batch(self, chunks, language="en"):
-                return wm.transcribe_chunks(chunks, language=language)
+                # whisper.cpp applies temperature fallback + the no-speech
+                # gate internally (transcription.rs delegates); match it.
+                return wm.transcribe_chunks_robust(chunks, language=language)
 
             def transcribe_with_timestamps(self, chunk_16k, offset_seconds):
                 return wm.transcribe_chunk_with_timestamps(chunk_16k, offset_seconds)
