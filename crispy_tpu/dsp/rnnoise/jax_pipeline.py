@@ -189,6 +189,12 @@ def make_params(model: Optional[RNNoiseModel] = None) -> Dict[str, jnp.ndarray]:
     t.update(_biquad_tables())
     t.update(_dft_tables())
     t.update(_corr_tables())
+    # Fused (re‖im) forward-DFT tables: one MXU matmul instead of two, and
+    # the input frames stream from HBM once. Per-column dot products are
+    # unchanged, so results are bitwise identical to the split tables.
+    for k in [k for k in t if k.endswith("_re") and (k.startswith("cf_") or k == "dft_fwd_re")]:
+        base = k[:-3]
+        t[base] = np.concatenate([t[k], t[f"{base}_im"]], axis=1)
     t["half_window"] = C.half_window()
     t["band_e"] = C.band_energy_matrix().T  # [481, 22] for e @ W
     t["band_interp"] = C.band_interp_matrix().T  # [22, 481] for g @ W
@@ -364,10 +370,12 @@ def _hp_biquad(params, state, x: jnp.ndarray) -> Tuple[dict, jnp.ndarray]:
 def _cross_corr(params, x, y, tagx, tagy, tagc, nlags):
     """corr[.., i] = sum_j x[.., j] y[.., j+i] — matmul DFT on TPU, FFT off."""
     if _use_matmul_dft():
-        xr = jnp.einsum("...n,nk->...k", x, params[f"cf_{tagx}_re"], precision=_HIGH)
-        xi = jnp.einsum("...n,nk->...k", x, params[f"cf_{tagx}_im"], precision=_HIGH)
-        yr = jnp.einsum("...n,nk->...k", y, params[f"cf_{tagy}_re"], precision=_HIGH)
-        yi = jnp.einsum("...n,nk->...k", y, params[f"cf_{tagy}_im"], precision=_HIGH)
+        kx = params[f"cf_{tagx}_re"].shape[1]
+        ky = params[f"cf_{tagy}_re"].shape[1]
+        xri = jnp.einsum("...n,nk->...k", x, params[f"cf_{tagx}"], precision=_HIGH)
+        yri = jnp.einsum("...n,nk->...k", y, params[f"cf_{tagy}"], precision=_HIGH)
+        xr, xi = xri[..., :kx], xri[..., kx:]
+        yr, yi = yri[..., :ky], yri[..., ky:]
         cr = xr * yr + xi * yi  # conj(X) * Y
         ci = xr * yi - xi * yr
         full = (
@@ -547,9 +555,8 @@ def _use_matmul_dft() -> bool:
 def _spectrum(params, frames: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """frames [.., 960] → windowed DFT (re, im) [.., 481], RNNoise 1/N scaling."""
     if _use_matmul_dft():
-        re = jnp.einsum("...n,nk->...k", frames, params["dft_fwd_re"], precision=_HIGH)
-        im = jnp.einsum("...n,nk->...k", frames, params["dft_fwd_im"], precision=_HIGH)
-        return re, im
+        ri = jnp.einsum("...n,nk->...k", frames, params["dft_fwd"], precision=_HIGH)
+        return ri[..., :NFREQ], ri[..., NFREQ:]
     hw = params["half_window"]
     w = jnp.concatenate([hw, hw[::-1]])
     X = jnp.fft.rfft(frames * w, n=WIN, axis=-1) / WIN
@@ -709,7 +716,10 @@ def frontend_block(params, state, block: jnp.ndarray):
     state = dict(state)
     state["hp_tail"] = ext[:, -(HIST + 1):]
 
-    # Analysis spectra: window f covers ext[769 + f*480 : +960].
+    # Analysis spectra: window f covers ext[769 + f*480 : +960]. Each
+    # _spectrum call is ONE fused (re‖im) DFT matmul; concatenating awin
+    # and pwin into a single call was tried and lost — the [S, 2F, 960]
+    # copy it materializes costs more HBM than the saved dispatch.
     awin = _windows(ext[:, 1 + HIST - FRAME:], FRAME, WIN, F)  # [S, F, 960]
     Xr, Xi = _spectrum(params, awin)
     Ex = _band_energy(params, Xr, Xi)
