@@ -49,11 +49,24 @@ class WhisperModel:
                             WhisperTokenizer.dummy(cfg.n_vocab), f"random-{size}")
 
     # -- inference -------------------------------------------------------------
+    def _prompt_ids(self, language: str, initial_prompt: Optional[str],
+                    timestamps: bool = False) -> List[int]:
+        """SOT sequence, optionally preceded by <|startofprev|> + prompt
+        tokens (whisper's initial-prompt conditioning; the previous-context
+        window is capped at n_text_ctx//2 − 1 tokens)."""
+        tok = self.tokenizer
+        seq = tok.sot_sequence(language=language, timestamps=timestamps)
+        if initial_prompt:
+            ids = tok.encode(" " + initial_prompt.strip())
+            return [tok.sot_prev] + ids[-(self.cfg.n_text_ctx // 2 - 1):] + seq
+        return seq
+
     def transcribe_chunks(
         self,
         audio_16k: np.ndarray,
         language: str = "en",
         max_new: int = 224,
+        initial_prompt: Optional[str] = None,
     ) -> List[str]:
         """audio [B, T<=480000] 16 kHz chunks → one text per chunk (batched)."""
         import jax.numpy as jnp
@@ -64,7 +77,7 @@ class WhisperModel:
         mel = log_mel_spectrogram(jnp.asarray(a), n_mels=self.cfg.n_mels,
                                   pad_to_chunk=True)
         tok = self.tokenizer
-        sot = tok.sot_sequence(language=language)
+        sot = self._prompt_ids(language, initial_prompt)
         prompt = jnp.asarray(np.tile(np.array(sot, np.int32), (a.shape[0], 1)))
         tokens, lengths = greedy_decode(
             self.params, self.cfg, mel, prompt, max_new=max_new, eot=tok.eot
@@ -82,6 +95,7 @@ class WhisperModel:
         logprob_threshold: float = -1.0,
         no_speech_threshold: float = 0.6,
         seed: int = 0,
+        initial_prompt: Optional[str] = None,
     ) -> List[str]:
         """Quality-gated decoding with the Whisper temperature-fallback
         policy: greedy first; a chunk whose output is degenerate
@@ -104,7 +118,7 @@ class WhisperModel:
                                   pad_to_chunk=True)
         tok = self.tokenizer
         prompt = jnp.asarray(np.tile(
-            np.array(tok.sot_sequence(language=language), np.int32), (B, 1)))
+            np.array(self._prompt_ids(language, initial_prompt), np.int32), (B, 1)))
         ns_id = jnp.int32(min(tok.no_speech, self.cfg.n_vocab - 1))
 
         results: List[Optional[str]] = [None] * B
@@ -135,6 +149,7 @@ class WhisperModel:
     def transcribe_chunk_with_timestamps(
         self, audio_16k: np.ndarray, offset_seconds: float = 0.0,
         language: str = "en", max_new: int = 224,
+        initial_prompt: Optional[str] = None,
     ) -> List[Tuple[float, float, str]]:
         """One ≤30 s chunk → [(start, end, text)] segments from Whisper's
         timestamp tokens (the reference gets word segments from its engines,
@@ -148,7 +163,7 @@ class WhisperModel:
         dur = a.shape[1] / 16000.0
         mel = log_mel_spectrogram(jnp.asarray(a), n_mels=self.cfg.n_mels, pad_to_chunk=True)
         tok = self.tokenizer
-        sot = tok.sot_sequence(language=language, timestamps=True)
+        sot = self._prompt_ids(language, initial_prompt, timestamps=True)
         prompt = jnp.asarray(np.array(sot, np.int32)[None, :])
         tokens, lengths = greedy_decode(
             self.params, self.cfg, mel, prompt, max_new=max_new, eot=tok.eot

@@ -335,3 +335,22 @@ def test_transcribe_chunks_robust_no_speech_gate():
         audio, max_new=16, temperatures=(0.0,),
         logprob_threshold=float("inf"), no_speech_threshold=-1.0)
     assert out == ["", ""]
+
+
+def test_initial_prompt_conditioning():
+    """<|startofprev|> + prompt tokens precede the SOT sequence and change
+    the decode; the window caps at n_text_ctx//2 - 1 prompt tokens."""
+    from crispy_tpu.models.whisper import WhisperModel
+
+    m = WhisperModel.random("test-random", seed=0)
+    tok = m.tokenizer
+    ids = m._prompt_ids("en", "hello there")
+    assert ids[0] == tok.sot_prev
+    assert ids[-len(tok.sot_sequence()):] == tok.sot_sequence()
+    assert len(ids) <= 1 + (m.cfg.n_text_ctx // 2 - 1) + len(tok.sot_sequence())
+    assert m._prompt_ids("en", None) == tok.sot_sequence()
+
+    rng = np.random.default_rng(4)
+    audio = rng.standard_normal((1, 16000)).astype(np.float32) * 0.1
+    primed = m.transcribe_chunks(audio, max_new=12, initial_prompt="hello there")
+    assert len(primed) == 1 and isinstance(primed[0], str)
