@@ -183,6 +183,30 @@ def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
         from ..models import parakeet as pk
         from ..dsp.mel import log_mel_spectrogram
 
+        if (path / "params.npz").exists():
+            # Prepared TDT bundle (the converter's output): params.npz in
+            # models/parakeet layout + config.json + tokenizer.model.
+            import json
+
+            from ..models.spm import SentencePieceVocab
+            from ..dsp.fbank import fbank
+
+            raw = json.loads((path / "config.json").read_text())
+            cfg = pk.ParakeetConfig(**raw.get("encoder", {}))
+            params = {k: jnp.asarray(v)
+                      for k, v in np.load(path / "params.npz").items()}
+            vocab = SentencePieceVocab.load(path / "tokenizer.model")
+
+            class _ParakeetTdtEngine(EngineProtocol):
+                name = model_id
+
+                def transcribe_batch(self, chunks, language="en"):
+                    feats = fbank(jnp.asarray(np.atleast_2d(chunks)), cfg.n_mels)
+                    toks, n = pk.tdt_greedy_decode(params, cfg, feats)
+                    toks, n = np.asarray(toks), np.asarray(n)
+                    return [vocab.decode(row[:k]) for row, k in zip(toks, n)]
+
+            return _ParakeetTdtEngine()
         if (path / "model.safetensors").exists() or (path / "pytorch_model.bin").exists():
             if (path / "model.safetensors").exists():
                 from safetensors.numpy import load_file

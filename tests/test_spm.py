@@ -143,3 +143,30 @@ def test_gigaam_engine_requires_prepared_bundle(tmp_path):
     mm.model_path("gigaam-v3-e2e-ctc").mkdir(parents=True)
     with pytest.raises(NotImplementedError, match="params.npz"):
         load_engine("gigaam-v3-e2e-ctc", mm)
+
+
+def test_parakeet_tdt_engine_from_prepared_bundle(tmp_path):
+    """The recommended catalog model (parakeet-tdt) boots from a prepared
+    bundle and decodes through the TDT while_loop + SentencePiece."""
+    from crispy_tpu.engine.transcription import load_engine
+    from crispy_tpu.models import parakeet as pk
+    from crispy_tpu.models.registry import ModelManager
+
+    enc = dict(n_mels=32, hidden_size=64, layers=2, heads=2, kv_heads=2,
+               intermediate_size=128, sub_channels=32, vocab_size=32,
+               pred_hidden=32, joint_hidden=32)
+    cfg = pk.ParakeetConfig(**enc)
+    mm = ModelManager(models_dir=tmp_path / "Models")
+    bundle = mm.model_path("parakeet-tdt-0.6b-v3")
+    bundle.mkdir(parents=True)
+    np.savez(bundle / "params.npz", **pk.init_random(cfg, seed=0))
+    (bundle / "config.json").write_text(json.dumps({"encoder": enc}))
+    pieces = ["<unk>"] + [f"▁p{i}" for i in range(cfg.vocab_size - 1)]
+    types = [UNKNOWN] + [NORMAL] * (cfg.vocab_size - 1)
+    (bundle / "tokenizer.model").write_bytes(build_model_bytes(pieces, types))
+
+    eng = load_engine("parakeet-tdt-0.6b-v3", mm)
+    sr = 16000
+    t = np.arange(sr) / sr
+    out = eng.transcribe_batch([(0.2 * np.sin(2 * np.pi * 350 * t)).astype(np.float32)])
+    assert len(out) == 1 and isinstance(out[0], str)
