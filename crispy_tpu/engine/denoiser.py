@@ -113,10 +113,18 @@ class RnnNoiseProcessor:
             self._in_buf[: n_frames * FRAME],
             self._in_buf[n_frames * FRAME:],
         )
-        self._dev_state, out, _vad = jp._denoise_block_jit(
-            self._params, self._dev_state, frames[None, :]
-        )
-        out = np.clip(np.asarray(out)[0], -1.0, 1.0) * self.volume
+        # One frame per device step, always [1, 480]: a burst of input must
+        # not trigger a fresh [1, n*480] compilation mid-stream (compiles
+        # take seconds on TPU — a guaranteed real-time glitch). Per-frame
+        # dispatch is ~1.3 ms against the 10 ms frame budget.
+        outs = []
+        for f in range(n_frames):
+            self._dev_state, o, _vad = jp._denoise_block_jit(
+                self._params, self._dev_state,
+                frames[None, f * FRAME:(f + 1) * FRAME],
+            )
+            outs.append(np.asarray(o)[0])
+        out = np.clip(np.concatenate(outs), -1.0, 1.0) * self.volume
         if self.first_frame:
             self.first_frame = False
             out = out[FRAME:]

@@ -160,15 +160,31 @@ def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
 
         return _WhisperEngine()
     if info.engine_type == "moonshine":
-        from ..models.moonshine import MoonshineModel
+        from ..models.moonshine import CONFIGS as MS_CONFIGS
+        from ..models.moonshine import MoonshineConfig, MoonshineModel
 
-        if not (path / "model.safetensors").exists() and not (path / "pytorch_model.bin").exists():
+        if (path / "params.npz").exists():
+            import json
+
+            raw = json.loads((path / "config.json").read_text())
+            ms_cfg = (MS_CONFIGS[raw["config"]] if "config" in raw
+                      else MoonshineConfig(**raw))
+            ms_tok = None
+            if (path / "tokenizer.json").exists():
+                from tokenizers import Tokenizer
+
+                ms_tok = Tokenizer.from_file(str(path / "tokenizer.json"))
+            mm = MoonshineModel(dict(np.load(path / "params.npz")), ms_cfg,
+                                ms_tok, name=model_id)
+        elif (path / "model.safetensors").exists() or (path / "pytorch_model.bin").exists():
+            mm = MoonshineModel.from_hf(path, name=model_id)
+        else:
             raise NotImplementedError(
-                "this moonshine bundle ships ONNX weights; drop an HF "
-                "checkpoint (model.safetensors + tokenizer.json) into the "
-                "model dir for the JAX engine (ONNX import lands next)"
+                "this moonshine bundle ships ONNX weights; prepare the JAX "
+                "bundle (params.npz + config.json + tokenizer.json) or drop "
+                "an HF checkpoint (model.safetensors + tokenizer.json) into "
+                "the model dir"
             )
-        mm = MoonshineModel.from_hf(path, name=model_id)
 
         class _MoonshineEngine(EngineProtocol):
             name = model_id

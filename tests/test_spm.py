@@ -170,3 +170,23 @@ def test_parakeet_tdt_engine_from_prepared_bundle(tmp_path):
     t = np.arange(sr) / sr
     out = eng.transcribe_batch([(0.2 * np.sin(2 * np.pi * 350 * t)).astype(np.float32)])
     assert len(out) == 1 and isinstance(out[0], str)
+
+
+def test_moonshine_engine_from_prepared_bundle(tmp_path):
+    from crispy_tpu.engine.transcription import load_engine
+    from crispy_tpu.models.moonshine import CONFIGS as MS_CONFIGS
+    from crispy_tpu.models.moonshine import init_random as ms_init
+    from crispy_tpu.models.registry import ModelManager
+
+    cfg = MS_CONFIGS["test-random"]
+    mm = ModelManager(models_dir=tmp_path / "Models")
+    bundle = mm.model_path("moonshine-base")
+    bundle.mkdir(parents=True)
+    np.savez(bundle / "params.npz", **ms_init(cfg, seed=0))
+    (bundle / "config.json").write_text(json.dumps({"config": "test-random"}))
+
+    eng = load_engine("moonshine-base", mm)
+    sr = 16000
+    t = np.arange(sr) / sr
+    out = eng.transcribe_batch([(0.2 * np.sin(2 * np.pi * 260 * t)).astype(np.float32)])
+    assert len(out) == 1 and isinstance(out[0], str)
