@@ -280,11 +280,14 @@ def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
                 "models/canary)"
             )
         raw = json.loads((path / "config.json").read_text())
+        prompt_ids = raw.pop("prompt_ids", None)
         if "config" in raw:
             cfg = cn.CONFIGS[raw["config"]]
         else:
             cfg = cn.CanaryConfig(
                 encoder=pk.ParakeetConfig(**raw.pop("encoder", {})), **raw)
+        if prompt_ids is None:
+            prompt_ids = [cfg.bos]
         params = {k: jnp.asarray(v)
                   for k, v in np.load(path / "params.npz").items()}
         vocab = SentencePieceVocab.load(path / "tokenizer.model")
@@ -293,9 +296,11 @@ def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
             name = model_id
 
             def transcribe_batch(self, chunks, language="en"):
+                B = len(np.atleast_2d(chunks))
                 feats = fbank(jnp.asarray(np.atleast_2d(chunks)),
                               cfg.encoder.n_mels)
-                tokens, lengths = cn.greedy_decode(params, cfg, feats)
+                prompt = jnp.asarray(np.tile(np.array(prompt_ids, np.int32), (B, 1)))
+                tokens, lengths = cn.greedy_decode(params, cfg, feats, prompt=prompt)
                 tokens, lengths = np.asarray(tokens), np.asarray(lengths)
                 return [vocab.decode(row[:n]) for row, n in zip(tokens, lengths)]
 

@@ -149,25 +149,32 @@ def _decode_step(p, cfg: CanaryConfig, tok, pos, self_k, self_v, cross_k, cross_
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new"))
-def greedy_decode(p, cfg: CanaryConfig, mel: jnp.ndarray, max_new: int = 128):
+def greedy_decode(p, cfg: CanaryConfig, mel: jnp.ndarray, max_new: int = 128,
+                  prompt: jnp.ndarray = None):
+    """Greedy AED decode; `prompt` [B, P] (NeMo canary's task prompt —
+    bos, source lang, task, target lang, pnc) defaults to [bos]."""
     feats = encode(p, cfg, mel)
     B = feats.shape[0]
     hd = cfg.dec_hidden // cfg.dec_heads
-    max_len = 1 + max_new
+    if prompt is None:
+        prompt = jnp.full((B, 1), cfg.bos, jnp.int32)
+    P = prompt.shape[1]
+    max_len = P + max_new
     self_k = jnp.zeros((cfg.dec_layers, B, cfg.dec_heads, max_len, hd), jnp.float32)
     self_v = jnp.zeros_like(self_k)
     cross_k = jnp.stack([_heads(_proj(p, f"dec.{i}.cross.k", feats), cfg.dec_heads)
                          for i in range(cfg.dec_layers)])
     cross_v = jnp.stack([_heads(_proj(p, f"dec.{i}.cross.v", feats), cfg.dec_heads)
                          for i in range(cfg.dec_layers)])
-    start = jnp.full((B,), cfg.bos, jnp.int32)
-    logits, self_k, self_v = _decode_step(p, cfg, start, jnp.int32(0),
-                                          self_k, self_v, cross_k, cross_v, max_len)
+    logits = None
+    for p_i in range(P):  # prefill (P is small and static)
+        logits, self_k, self_v = _decode_step(p, cfg, prompt[:, p_i], jnp.int32(p_i),
+                                              self_k, self_v, cross_k, cross_v, max_len)
     first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     def step(carry, i):
         tok, done, sk, sv = carry
-        logits, sk, sv = _decode_step(p, cfg, tok, i + 1, sk, sv, cross_k, cross_v, max_len)
+        logits, sk, sv = _decode_step(p, cfg, tok, P + i, sk, sv, cross_k, cross_v, max_len)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.eos, nxt)
         done = done | (nxt == cfg.eos)

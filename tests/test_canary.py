@@ -36,3 +36,24 @@ def test_decode_shapes_and_eos_freeze():
     for b in range(3):
         after = toks[b, lengths[b]:]
         assert np.all(after == cfg.eos) or lengths[b] == 5
+
+
+def test_greedy_decode_with_task_prompt():
+    """Multi-token prompts prefill the KV cache; [bos] matches no-prompt."""
+    import jax.numpy as jnp
+
+    from crispy_tpu.models import canary as cn
+
+    cfg = cn.CONFIGS["test-random"]
+    p = {k: jnp.asarray(v) for k, v in cn.init_random(cfg, seed=0).items()}
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((1, 64, cfg.encoder.n_mels)).astype(np.float32))
+    t0, l0 = cn.greedy_decode(p, cfg, mel, max_new=12)
+    bos = jnp.full((1, 1), cfg.bos, jnp.int32)
+    t1, l1 = cn.greedy_decode(p, cfg, mel, max_new=12, prompt=bos)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    task = jnp.asarray([[cfg.bos, 5, 9, 11, 3]], jnp.int32)
+    t2, l2 = cn.greedy_decode(p, cfg, mel, max_new=12, prompt=task)
+    assert np.asarray(t2).shape == (1, 12)
+    assert 0 <= int(np.asarray(l2)[0]) <= 12
