@@ -90,6 +90,33 @@ def load_transcription_metadata(recording_path: str) -> Optional[str]:
     return json.loads(p.read_text(encoding="utf-8")).get("model_id")
 
 
+def transcription_progress_path(recording_path: str) -> Path:
+    return _tdir() / f"{transcription_file_stem(recording_path)}.progress.json"
+
+
+def _save_progress(recording_path: str, payload: dict) -> None:
+    """Atomic temp+rename write (the settings-store discipline) so a crash
+    mid-write can't corrupt the checkpoint."""
+    p = transcription_progress_path(recording_path)
+    tmp = p.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(payload), encoding="utf-8")
+    tmp.replace(p)
+
+
+def _load_progress(recording_path: str) -> Optional[dict]:
+    p = transcription_progress_path(recording_path)
+    if not p.exists():
+        return None
+    try:
+        return json.loads(p.read_text(encoding="utf-8"))
+    except (json.JSONDecodeError, OSError):
+        return None  # unreadable checkpoint: restart from zero
+
+
+def clear_transcription_progress(recording_path: str) -> None:
+    transcription_progress_path(recording_path).unlink(missing_ok=True)
+
+
 def save_transcription_chat_history(recording_path: str, messages: List[dict]) -> None:
     transcription_chat_history_path(recording_path).write_text(
         json.dumps(messages, indent=2), encoding="utf-8"
@@ -503,10 +530,23 @@ def run_transcription(
         chunks.reshape(-1)[: flat.size] = flat
 
         set_phase("transcribing")
+        # Chunk-level checkpoint/resume: a cancelled or crashed job restarts
+        # from its last completed batch, not from zero (the reference
+        # restarts from zero — SURVEY §5 flags this as the natural TPU-build
+        # improvement over commands/transcription.rs).
         parts: List[Tuple[float, float, str]] = []
+        resume_chunk = 0
+        ckpt = _load_progress(recording_path)
+        if (ckpt and ckpt.get("model_id") == model_id
+                and ckpt.get("language") == language
+                and ckpt.get("n_chunks") == n_chunks
+                and bool(ckpt.get("diarization")) == bool(
+                    diarization and diarization.get("enabled"))):
+            parts = [(float(s), float(e), t) for s, e, t in ckpt.get("parts", [])]
+            resume_chunk = min(int(ckpt.get("done_chunks", 0)), n_chunks)
         start_t = time.monotonic()
         done_samples = 0
-        for b0 in range(0, n_chunks, batch_chunks):
+        for b0 in range(resume_chunk, n_chunks, batch_chunks):
             if cancel.is_set():
                 _finish(tm, bus, recording_path, "cancelled")
                 return None
@@ -529,12 +569,22 @@ def run_transcription(
                     cs = (b0 + j) * TRANSCRIBE_CHUNK_SECONDS
                     if text.strip():
                         parts.append((cs, min(cs + TRANSCRIBE_CHUNK_SECONDS, total_seconds), text))
-            done_samples = min((b0 + len(texts)) * CHUNK_SAMPLES, total_out)
+            done_chunks = b0 + len(texts)
+            _save_progress(recording_path, {
+                "model_id": model_id, "language": language,
+                "n_chunks": n_chunks, "done_chunks": done_chunks,
+                "diarization": bool(diarization and diarization.get("enabled")),
+                "parts": [[s, e, t] for s, e, t in parts],
+            })
+            done_samples = min(done_chunks * CHUNK_SAMPLES, total_out)
             progress = min(1.0, done_samples / max(total_out, 1))
             done_sec = done_samples / TARGET_SAMPLE_RATE
+            # ETA from the rate realized THIS session (:287-299); resumed
+            # chunks took no wall time here.
+            sess_sec = done_sec - resume_chunk * TRANSCRIBE_CHUNK_SECONDS
             eta = None
-            if done_sec > 0.5:  # ETA from realized rate (:287-299)
-                rate = (time.monotonic() - start_t) / done_sec
+            if sess_sec > 0.5:
+                rate = (time.monotonic() - start_t) / sess_sec
                 eta = int(round(max(total_seconds - done_sec, 0.0) * rate))
             prog[0] = progress
             tm.set_state(recording_path,
@@ -562,6 +612,7 @@ def run_transcription(
 
         save_transcription_result(recording_path, text)
         save_transcription_metadata(recording_path, model_id)
+        clear_transcription_progress(recording_path)  # checkpoint consumed
         _finish(tm, bus, recording_path, "completed")
         return text
     except Exception as e:

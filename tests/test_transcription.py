@@ -164,3 +164,55 @@ class TestPipeline:
         tm.load_model("b")
         assert loads == ["a", "b"]
         assert tm.get_current_model() == "b"
+
+
+class TestCheckpointResume:
+    """Chunk-level checkpoint/resume (the TPU-build improvement SURVEY §5
+    flags over the reference's restart-from-zero)."""
+
+    def test_resume_skips_completed_batches(self, setup):
+        tm, bus, engine, tmp_path = setup
+        wav = tmp_path / "long.wav"
+        make_wav(wav, 90)  # 3 chunks
+
+        class FlakyEngine(FakeEngine):
+            def transcribe_batch(self, chunks, language="en"):
+                if len(self.calls) == 1:  # first batch already committed
+                    raise RuntimeError("injected failure on second batch")
+                return super().transcribe_batch(chunks, language)
+
+        flaky = FlakyEngine()
+        tm._loader = lambda mid, m: flaky
+        tm._engine = None
+        with pytest.raises(RuntimeError):
+            tr.run_transcription(str(wav), tm, "fake-model", batch_chunks=1)
+        assert tr.transcription_progress_path(str(wav)).exists()
+
+        good = FakeEngine()
+        tm._loader = lambda mid, m: good
+        tm._engine = None
+        text = tr.run_transcription(str(wav), tm, "fake-model", batch_chunks=1)
+        assert text is not None and text.strip()
+        # only the remaining 2 chunks were re-transcribed
+        assert len(good.calls) == 2
+        assert not tr.transcription_progress_path(str(wav)).exists()
+
+    def test_checkpoint_ignored_on_model_change(self, setup):
+        tm, bus, engine, tmp_path = setup
+        wav = tmp_path / "m.wav"
+        make_wav(wav, 60)  # 2 chunks
+        tr._save_progress(str(wav), {"model_id": "other-model", "language": "en",
+                                     "n_chunks": 2, "done_chunks": 1,
+                                     "diarization": False,
+                                     "parts": [[0.0, 30.0, "stale"]]})
+        text = tr.run_transcription(str(wav), tm, "fake-model", batch_chunks=2)
+        assert "stale" not in text
+        assert len(engine.calls) == 1  # full re-run in one batch
+
+    def test_corrupt_checkpoint_restarts_clean(self, setup):
+        tm, bus, engine, tmp_path = setup
+        wav = tmp_path / "c.wav"
+        make_wav(wav, 30)
+        tr.transcription_progress_path(str(wav)).write_text("{not json")
+        text = tr.run_transcription(str(wav), tm, "fake-model")
+        assert text and not tr.transcription_progress_path(str(wav)).exists()
