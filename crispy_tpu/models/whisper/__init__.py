@@ -11,7 +11,8 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from .model import (
-    CONFIGS, WhisperConfig, decode_logits, encode, greedy_decode, sample_decode,
+    CONFIGS, WhisperConfig, beam_decode, decode_logits, encode, greedy_decode,
+    sample_decode,
 )
 from .tokenizer import WhisperTokenizer
 from .weights import from_hf_state_dict, init_random, load_ggml, load_hf
@@ -67,8 +68,11 @@ class WhisperModel:
         language: str = "en",
         max_new: int = 224,
         initial_prompt: Optional[str] = None,
+        beam: int = 1,
     ) -> List[str]:
-        """audio [B, T<=480000] 16 kHz chunks → one text per chunk (batched)."""
+        """audio [B, T<=480000] 16 kHz chunks → one text per chunk (batched).
+
+        beam > 1 switches to beam search with length-normalized ranking."""
         import jax.numpy as jnp
 
         from ...dsp.mel import log_mel_spectrogram
@@ -79,9 +83,14 @@ class WhisperModel:
         tok = self.tokenizer
         sot = self._prompt_ids(language, initial_prompt)
         prompt = jnp.asarray(np.tile(np.array(sot, np.int32), (a.shape[0], 1)))
-        tokens, lengths = greedy_decode(
-            self.params, self.cfg, mel, prompt, max_new=max_new, eot=tok.eot
-        )
+        if beam > 1:
+            tokens, lengths, _ = beam_decode(
+                self.params, self.cfg, mel, prompt, beam=beam,
+                max_new=max_new, eot=tok.eot)
+        else:
+            tokens, lengths = greedy_decode(
+                self.params, self.cfg, mel, prompt, max_new=max_new, eot=tok.eot
+            )
         tokens, lengths = np.asarray(tokens), np.asarray(lengths)
         return [tok.decode(tokens[b, : lengths[b]]) for b in range(a.shape[0])]
 

@@ -347,3 +347,85 @@ def sample_decode(
     lengths = jnp.argmax(tokens == eot_id, axis=1)
     lengths = jnp.where(jnp.any(tokens == eot_id, axis=1), lengths, max_new)
     return tokens, lengths, lp_sum, no_speech_prob
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new", "beam"))
+def beam_decode(
+    params,
+    cfg: WhisperConfig,
+    mel_or_audio: jnp.ndarray,
+    prompt: jnp.ndarray,
+    beam: int = 5,
+    max_new: int = 224,
+    eot: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched beam search (beams ride the batch dimension: B·beam rows).
+
+    Finished hypotheses are frozen (they keep emitting eot at logprob 0);
+    the final pick maximizes length-normalized cumulative logprob, the
+    standard whisper ranking. beam=1 reproduces greedy_decode exactly.
+    Returns (tokens [B, max_new], lengths [B], best sum_logprob [B]).
+    """
+    audio = mel_or_audio
+    if audio.shape[-2] == cfg.n_mels:
+        audio = encode(params, cfg, audio)
+    B, P = prompt.shape
+    eot_id = cfg.eot if eot is None else eot
+    max_len = P + max_new
+    V = params["dec.emb"].shape[0]
+
+    # Beams as rows: row b*beam + j is beam j of batch item b.
+    audio_x = jnp.repeat(audio, beam, axis=0)
+    prompt_x = jnp.repeat(prompt, beam, axis=0)
+    self_k, self_v, cross_k, cross_v = _init_cache(params, cfg, audio_x, max_len)
+
+    logits = None
+    for p_i in range(P):
+        logits, self_k, self_v = _decode_step(
+            params, cfg, prompt_x[:, p_i], jnp.int32(p_i), self_k, self_v,
+            cross_k, cross_v, max_len,
+        )
+    lp = jax.nn.log_softmax(logits, axis=-1).reshape(B, beam, V)[:, 0]
+    # first expansion: top-beam tokens of beam 0 (all beams are identical)
+    cum, tok0 = lax.top_k(lp, beam)  # [B, beam]
+    first = tok0.astype(jnp.int32)
+    done0 = first == eot_id
+    base = (jnp.arange(B) * beam)[:, None]  # row offsets
+
+    def step(carry, i):
+        tok, done, cum, hist, self_k, self_v = carry
+        logits, self_k, self_v = _decode_step(
+            params, cfg, tok.reshape(B * beam), P + i,
+            self_k, self_v, cross_k, cross_v, max_len,
+        )
+        lp = jax.nn.log_softmax(logits, axis=-1).reshape(B, beam, V)
+        # frozen beams: only eot continues, at no cost
+        frozen = jnp.full((V,), -jnp.inf).at[eot_id].set(0.0)
+        lp = jnp.where(done[..., None], frozen[None, None, :], lp)
+        cand = (cum[..., None] + lp).reshape(B, beam * V)
+        cum, idx = lax.top_k(cand, beam)  # [B, beam]
+        parent = (idx // V).astype(jnp.int32)
+        tok = (idx % V).astype(jnp.int32)
+        rows = (base + parent).reshape(-1)
+        self_k = jnp.take(self_k, rows, axis=1)
+        self_v = jnp.take(self_v, rows, axis=1)
+        hist = jnp.take_along_axis(hist, parent[..., None], axis=1)
+        hist = lax.dynamic_update_index_in_dim(hist, tok, i + 1, axis=2)
+        done = jnp.take_along_axis(done, parent, axis=1) | (tok == eot_id)
+        return (tok, done, cum, hist, self_k, self_v), None
+
+    hist0 = jnp.full((B, beam, max_new), eot_id, jnp.int32)
+    hist0 = hist0.at[:, :, 0].set(first)  # scan writes slots 1..max_new-1
+
+    (_, done, cum, hist, _, _), _ = lax.scan(
+        step, (first, done0, cum, hist0, self_k, self_v),
+        jnp.arange(max_new - 1),
+    )
+    lengths_all = jnp.argmax(hist == eot_id, axis=2)
+    lengths_all = jnp.where(jnp.any(hist == eot_id, axis=2), lengths_all, max_new)
+    norm = cum / jnp.maximum(lengths_all + 1, 1)
+    best = jnp.argmax(norm, axis=1)
+    tokens = jnp.take_along_axis(hist, best[:, None, None], axis=1)[:, 0]
+    lengths = jnp.take_along_axis(lengths_all, best[:, None], axis=1)[:, 0]
+    sum_lp = jnp.take_along_axis(cum, best[:, None], axis=1)[:, 0]
+    return tokens, lengths, sum_lp

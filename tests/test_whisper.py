@@ -354,3 +354,61 @@ def test_initial_prompt_conditioning():
     audio = rng.standard_normal((1, 16000)).astype(np.float32) * 0.1
     primed = m.transcribe_chunks(audio, max_new=12, initial_prompt="hello there")
     assert len(primed) == 1 and isinstance(primed[0], str)
+
+
+def test_beam1_matches_greedy():
+    import jax.numpy as jnp
+
+    from crispy_tpu.models.whisper import WhisperModel
+    from crispy_tpu.models.whisper.model import beam_decode, greedy_decode
+    from crispy_tpu.dsp.mel import log_mel_spectrogram
+
+    m = WhisperModel.random("test-random", seed=0)
+    rng = np.random.default_rng(5)
+    audio = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    mel = log_mel_spectrogram(jnp.asarray(audio), n_mels=m.cfg.n_mels,
+                              pad_to_chunk=True)
+    prompt = jnp.asarray(np.tile(np.array(m.tokenizer.sot_sequence(), np.int32), (2, 1)))
+    tg, lg = greedy_decode(m.params, m.cfg, mel, prompt, max_new=16, eot=m.tokenizer.eot)
+    tb, lb, _ = beam_decode(m.params, m.cfg, mel, prompt, beam=1, max_new=16,
+                            eot=m.tokenizer.eot)
+    np.testing.assert_array_equal(np.asarray(tg), np.asarray(tb))
+    np.testing.assert_array_equal(np.asarray(lg), np.asarray(lb))
+
+
+def test_beam_search_finds_no_worse_sequences():
+    """With eot freezing, the beam set always contains the greedy path, so
+    the best beam's raw cumulative logprob is >= greedy's."""
+    import jax
+    import jax.numpy as jnp
+
+    from crispy_tpu.models.whisper import WhisperModel
+    from crispy_tpu.models.whisper.model import beam_decode, sample_decode
+    from crispy_tpu.dsp.mel import log_mel_spectrogram
+
+    m = WhisperModel.random("test-random", seed=0)
+    rng = np.random.default_rng(6)
+    audio = rng.standard_normal((1, 16000)).astype(np.float32) * 0.1
+    mel = log_mel_spectrogram(jnp.asarray(audio), n_mels=m.cfg.n_mels,
+                              pad_to_chunk=True)
+    prompt = jnp.asarray(np.array(m.tokenizer.sot_sequence(), np.int32))[None]
+    _, lg, lp_g, _ = sample_decode(m.params, m.cfg, mel, prompt, jnp.float32(0.0),
+                                   jax.random.PRNGKey(0), jnp.int32(0),
+                                   max_new=12, eot=m.tokenizer.eot)
+    tb, lb, lp_b = beam_decode(m.params, m.cfg, mel, prompt, beam=3, max_new=12,
+                               eot=m.tokenizer.eot)
+    # compare length-normalized scores (the ranking beam search optimizes)
+    g = float(np.asarray(lp_g)[0]) / (int(np.asarray(lg)[0]) + 1)
+    b = float(np.asarray(lp_b)[0]) / (int(np.asarray(lb)[0]) + 1)
+    assert b >= g - 1e-4
+    assert np.asarray(tb).shape == (1, 12)
+
+
+def test_transcribe_chunks_beam_option():
+    from crispy_tpu.models.whisper import WhisperModel
+
+    m = WhisperModel.random("test-random", seed=0)
+    rng = np.random.default_rng(7)
+    audio = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    out = m.transcribe_chunks(audio, max_new=10, beam=3)
+    assert len(out) == 2 and all(isinstance(s, str) for s in out)
