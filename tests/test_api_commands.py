@@ -2,6 +2,7 @@
 (reference: main.rs:372-425 invoke_handler)."""
 
 import json
+from pathlib import Path
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, HTTPServer
@@ -207,8 +208,11 @@ class TestConvert:
             "from crispy_tpu.io import wav\n"
             "wav.write_wav(sys.argv[-1], np.zeros((48, 2), np.float32), 48000)\n"
         )
+        repo_root = Path(__file__).resolve().parent.parent
         fake = tmp_path / "ffmpeg"
-        fake.write_text(f'#!/bin/sh\nexec python3 "{helper}" "$@"\n')
+        fake.write_text(
+            f'#!/bin/sh\nexec env PYTHONPATH="{repo_root}" python3 "{helper}" "$@"\n'
+        )
         fake.chmod(0o755)
         src = tmp_path / "video.mp4"
         src.write_bytes(b"fake media")
