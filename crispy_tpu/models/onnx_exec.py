@@ -1,0 +1,1328 @@
+"""Generic ONNX → JAX executor: load an .onnx graph and run it as a
+jittable JAX function on TPU.
+
+Why this exists: every non-whisper artifact in the reference catalog is an
+ONNX export consumed through ONNX Runtime (transcribe-rs engines —
+managers/transcription.rs:119-172 — plus pyannote segmentation-3.0 and
+WeSpeaker CAM++ in managers/diarization.rs:40-75,133-134). The TPU build's
+native JAX architectures are the fast path; this executor is the
+guaranteed-correct path that makes *any* real downloaded artifact load and
+run, including the int8-dynamic-quantized bundles (DynamicQuantizeLinear /
+MatMulInteger graphs) and the diarization nets.
+
+Design: the graph is traced once into a pure function over jnp arrays —
+XLA then fuses it like any hand-written JAX. Static partial evaluation:
+initializers and everything derived only from them (Shape→Gather→Concat→
+Reshape chains, slice indices, pad amounts) stay concrete numpy on the
+host, so data-dependent-looking shape arithmetic never reaches the traced
+graph. No onnx/onnxruntime dependency — the protobuf wire format is walked
+directly (see onnx_import.py for the tensor parser).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .onnx_import import _DTYPES, _fields, _parse_tensor
+
+# ---------------------------------------------------------------------------
+# Graph protobuf parsing (NodeProto / AttributeProto / ValueInfoProto)
+# ---------------------------------------------------------------------------
+
+
+def _to_i64(v: int) -> int:
+    """Protobuf varints encode int64 as 2's complement in 64 bits."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _parse_attr(buf) -> Tuple[str, Any]:
+    name = ""
+    atype = None
+    f = i = s = t = g = None
+    floats: List[float] = []
+    ints: List[int] = []
+    strings: List[bytes] = []
+    import struct as _struct
+
+    for fld, wire, val in _fields(buf):
+        if fld == 1:
+            name = bytes(val).decode()
+        elif fld == 2 and wire == 5:
+            f = _struct.unpack("<f", val)[0]
+        elif fld == 3 and wire == 0:
+            i = _to_i64(val)
+        elif fld == 4 and wire == 2:
+            s = bytes(val)
+        elif fld == 5 and wire == 2:
+            t = _parse_tensor(val)[1]
+        elif fld == 6 and wire == 2:
+            g = _parse_graph(val)
+        elif fld == 7:
+            if wire == 5:
+                floats.append(_struct.unpack("<f", val)[0])
+            elif wire == 2:  # packed
+                floats.extend(np.frombuffer(bytes(val), "<f4").tolist())
+        elif fld == 8:
+            if wire == 0:
+                ints.append(_to_i64(val))
+            elif wire == 2:
+                pos = 0
+                from .onnx_import import _read_varint
+
+                while pos < len(val):
+                    v, pos = _read_varint(val, pos)
+                    ints.append(_to_i64(v))
+        elif fld == 9 and wire == 2:
+            strings.append(bytes(val))
+        elif fld == 20 and wire == 0:
+            atype = val
+    # Pick the populated payload (type tag is advisory).
+    for cand in (t, g):
+        if cand is not None:
+            return name, cand
+    if floats:
+        return name, floats
+    if ints:
+        return name, ints
+    if strings:
+        return name, strings
+    if s is not None:
+        return name, s.decode("utf-8", errors="replace")
+    if f is not None and atype == 1:
+        return name, f
+    if i is not None and atype == 2:
+        return name, i
+    if f is not None:
+        return name, f
+    if i is not None:
+        return name, i
+    return name, None
+
+
+@dataclass
+class OnnxNode:
+    op_type: str
+    inputs: List[str]
+    outputs: List[str]
+    attrs: Dict[str, Any]
+    name: str = ""
+
+
+@dataclass
+class OnnxGraph:
+    nodes: List[OnnxNode] = field(default_factory=list)
+    initializers: Dict[str, np.ndarray] = field(default_factory=dict)
+    inputs: List[Tuple[str, Optional[int], List[Optional[int]]]] = field(default_factory=list)
+    outputs: List[str] = field(default_factory=list)
+    name: str = ""
+
+
+def _parse_value_info(buf) -> Tuple[str, Optional[int], List[Optional[int]]]:
+    name = ""
+    elem_type = None
+    shape: List[Optional[int]] = []
+    for fld, wire, val in _fields(buf):
+        if fld == 1 and wire == 2:
+            name = bytes(val).decode()
+        elif fld == 2 and wire == 2:  # TypeProto
+            for tf, tw, tv in _fields(val):
+                if tf == 1 and tw == 2:  # tensor_type
+                    for sf, sw, sv in _fields(tv):
+                        if sf == 1 and sw == 0:
+                            elem_type = sv
+                        elif sf == 2 and sw == 2:  # TensorShapeProto
+                            for df, dw, dv in _fields(sv):
+                                if df == 1 and dw == 2:  # Dimension
+                                    dim: Optional[int] = None
+                                    for xf, xw, xv in _fields(dv):
+                                        if xf == 1 and xw == 0:
+                                            dim = _to_i64(xv)
+                                    shape.append(dim)
+    return name, elem_type, shape
+
+
+def _parse_node(buf) -> OnnxNode:
+    inputs: List[str] = []
+    outputs: List[str] = []
+    op_type = ""
+    name = ""
+    attrs: Dict[str, Any] = {}
+    for fld, wire, val in _fields(buf):
+        if fld == 1 and wire == 2:
+            inputs.append(bytes(val).decode())
+        elif fld == 2 and wire == 2:
+            outputs.append(bytes(val).decode())
+        elif fld == 3 and wire == 2:
+            name = bytes(val).decode()
+        elif fld == 4 and wire == 2:
+            op_type = bytes(val).decode()
+        elif fld == 5 and wire == 2:
+            k, v = _parse_attr(val)
+            attrs[k] = v
+    return OnnxNode(op_type, inputs, outputs, attrs, name)
+
+
+def _parse_graph(buf) -> OnnxGraph:
+    g = OnnxGraph()
+    for fld, wire, val in _fields(buf):
+        if fld == 1 and wire == 2:
+            g.nodes.append(_parse_node(val))
+        elif fld == 2 and wire == 2:
+            g.name = bytes(val).decode()
+        elif fld == 5 and wire == 2:
+            name, arr = _parse_tensor(val)
+            if name is not None and arr is not None:
+                g.initializers[name] = arr
+        elif fld == 11 and wire == 2:
+            g.inputs.append(_parse_value_info(val))
+        elif fld == 12 and wire == 2:
+            g.outputs.append(_parse_value_info(val)[0])
+    return g
+
+
+def load_onnx_graph(path) -> OnnxGraph:
+    """Parse ModelProto → OnnxGraph (nodes + attrs + initializers + I/O)."""
+    data = memoryview(Path(path).read_bytes())
+    for fld, wire, val in _fields(data):
+        if fld == 7 and wire == 2:  # ModelProto.graph
+            return _parse_graph(val)
+    raise ValueError(f"no graph in {path}")
+
+
+# ---------------------------------------------------------------------------
+# Execution: trace the graph into JAX
+# ---------------------------------------------------------------------------
+
+def _is_static(v) -> bool:
+    return isinstance(v, (np.ndarray, np.generic, int, float, bool))
+
+
+def _static(v, what: str) -> np.ndarray:
+    if not _is_static(v):
+        raise NotImplementedError(f"dynamic (traced) {what} is unsupported")
+    return np.asarray(v)
+
+
+_NP_OF_ONNX = _DTYPES  # elem_type code → numpy dtype
+
+
+def _pairs(pads: Sequence[int]) -> List[Tuple[int, int]]:
+    """ONNX pads [b0, b1, .., e0, e1, ..] → [(b0, e0), (b1, e1), ..]."""
+    n = len(pads) // 2
+    return [(int(pads[i]), int(pads[i + n])) for i in range(n)]
+
+
+def _auto_pads(auto_pad: str, in_spatial, kernel, strides, dilations):
+    """SAME_UPPER/SAME_LOWER explicit pad pairs (NOTSET handled by caller)."""
+    out = []
+    for x, k, s, d in zip(in_spatial, kernel, strides, dilations):
+        eff = (k - 1) * d + 1
+        o = -(-x // s)
+        total = max(0, (o - 1) * s + eff - x)
+        if auto_pad == "SAME_LOWER":
+            out.append((total - total // 2, total // 2))
+        else:
+            out.append((total // 2, total - total // 2))
+    return out
+
+
+class OnnxRunner:
+    """Executable wrapper: `runner(x=..., y=...)` → dict of outputs.
+
+    The call is pure and traceable — wrap in jax.jit (or call inside jitted
+    code). Ops whose inputs are all concrete run eagerly on host and stay
+    out of the compiled graph.
+    """
+
+    def __init__(self, graph: OnnxGraph):
+        self.graph = graph
+        self.input_names = [n for n, _, _ in graph.inputs if n not in graph.initializers]
+        self.output_names = list(graph.outputs)
+
+    @staticmethod
+    def load(path) -> "OnnxRunner":
+        return OnnxRunner(load_onnx_graph(path))
+
+    def input_info(self) -> List[Tuple[str, Optional[int], List[Optional[int]]]]:
+        return [i for i in self.graph.inputs if i[0] not in self.graph.initializers]
+
+    def __call__(self, **inputs) -> Dict[str, Any]:
+        vals: Dict[str, Any] = dict(self.graph.initializers)
+        vals[""] = None  # optional (absent) input slot
+        for n in self.input_names:
+            if n not in inputs:
+                raise ValueError(f"missing graph input {n!r}")
+        vals.update(inputs)
+        for node in self.graph.nodes:
+            handler = _OPS.get(node.op_type)
+            if handler is None:
+                raise NotImplementedError(f"ONNX op {node.op_type} (node {node.name!r})")
+            args = [vals[i] if i else None for i in node.inputs]
+            out = handler(node, *args)
+            if not isinstance(out, tuple):
+                out = (out,)
+            static_in = all(a is None or _is_static(a) for a in args)
+            for name, o in zip(node.outputs, out):
+                if not name:
+                    continue
+                if static_in and o is not None and not _is_static(o):
+                    o = np.asarray(o)  # concrete by construction
+                vals[name] = o
+        return {n: vals[n] for n in self.output_names}
+
+
+# -- op handlers -------------------------------------------------------------
+
+_OPS: Dict[str, Callable] = {}
+
+
+def op(*names):
+    def deco(fn):
+        for n in names:
+            _OPS[n] = fn
+        return fn
+
+    return deco
+
+
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+# elementwise ----------------------------------------------------------------
+
+@op("Add")
+def _add(node, a, b):
+    return _jnp().add(a, b)
+
+
+@op("Sub")
+def _sub(node, a, b):
+    return _jnp().subtract(a, b)
+
+
+@op("Mul")
+def _mul(node, a, b):
+    return _jnp().multiply(a, b)
+
+
+@op("Div")
+def _div(node, a, b):
+    jnp = _jnp()
+    a, b = jnp.asarray(a), jnp.asarray(b)
+    if jnp.issubdtype(a.dtype, jnp.integer) and jnp.issubdtype(b.dtype, jnp.integer):
+        return a // b
+    return a / b
+
+
+@op("Pow")
+def _pow(node, a, b):
+    return _jnp().power(a, b)
+
+
+@op("Sqrt")
+def _sqrt(node, a):
+    return _jnp().sqrt(a)
+
+
+@op("Exp")
+def _exp(node, a):
+    return _jnp().exp(a)
+
+
+@op("Log")
+def _log(node, a):
+    return _jnp().log(a)
+
+
+@op("Neg")
+def _neg(node, a):
+    return _jnp().negative(a)
+
+
+@op("Abs")
+def _abs(node, a):
+    return _jnp().abs(a)
+
+
+@op("Floor")
+def _floor(node, a):
+    return _jnp().floor(a)
+
+
+@op("Ceil")
+def _ceil(node, a):
+    return _jnp().ceil(a)
+
+
+@op("Round")
+def _round(node, a):
+    return _jnp().round(a)
+
+
+@op("Reciprocal")
+def _recip(node, a):
+    return 1.0 / _jnp().asarray(a)
+
+
+@op("Erf")
+def _erf(node, a):
+    import jax
+
+    return jax.scipy.special.erf(a)
+
+
+@op("Tanh")
+def _tanh(node, a):
+    return _jnp().tanh(a)
+
+
+@op("Sigmoid")
+def _sigmoid(node, a):
+    import jax
+
+    return jax.nn.sigmoid(a)
+
+
+@op("Relu")
+def _relu(node, a):
+    return _jnp().maximum(a, 0)
+
+
+@op("LeakyRelu")
+def _leaky(node, a):
+    alpha = node.attrs.get("alpha", 0.01)
+    jnp = _jnp()
+    return jnp.where(jnp.asarray(a) >= 0, a, alpha * jnp.asarray(a))
+
+
+@op("PRelu")
+def _prelu(node, a, slope):
+    jnp = _jnp()
+    return jnp.where(jnp.asarray(a) >= 0, a, slope * jnp.asarray(a))
+
+
+@op("Elu")
+def _elu(node, a):
+    alpha = node.attrs.get("alpha", 1.0)
+    jnp = _jnp()
+    return jnp.where(jnp.asarray(a) >= 0, a, alpha * (jnp.exp(a) - 1))
+
+
+@op("Selu")
+def _selu(node, a):
+    alpha = node.attrs.get("alpha", 1.6732631921768188)
+    gamma = node.attrs.get("gamma", 1.0507009873554805)
+    jnp = _jnp()
+    return gamma * jnp.where(jnp.asarray(a) >= 0, a, alpha * (jnp.exp(a) - 1))
+
+
+@op("HardSigmoid")
+def _hardsig(node, a):
+    alpha = node.attrs.get("alpha", 0.2)
+    beta = node.attrs.get("beta", 0.5)
+    return _jnp().clip(alpha * _jnp().asarray(a) + beta, 0, 1)
+
+
+@op("HardSwish")
+def _hardswish(node, a):
+    jnp = _jnp()
+    return jnp.asarray(a) * jnp.clip(jnp.asarray(a) / 6.0 + 0.5, 0, 1)
+
+
+@op("Softplus")
+def _softplus(node, a):
+    import jax
+
+    return jax.nn.softplus(a)
+
+
+@op("Gelu")
+def _gelu(node, a):
+    import jax
+
+    approx = node.attrs.get("approximate", "none") == "tanh"
+    return jax.nn.gelu(a, approximate=approx)
+
+
+@op("Clip")
+def _clip(node, a, lo=None, hi=None):
+    jnp = _jnp()
+    if lo is None and "min" in node.attrs:
+        lo = node.attrs["min"]
+    if hi is None and "max" in node.attrs:
+        hi = node.attrs["max"]
+    out = jnp.asarray(a)
+    if lo is not None:
+        out = jnp.maximum(out, lo)
+    if hi is not None:
+        out = jnp.minimum(out, hi)
+    return out
+
+
+@op("Min")
+def _min(node, *xs):
+    jnp = _jnp()
+    return functools.reduce(jnp.minimum, xs)
+
+
+@op("Max")
+def _max(node, *xs):
+    jnp = _jnp()
+    return functools.reduce(jnp.maximum, xs)
+
+
+@op("Sum")
+def _sum(node, *xs):
+    jnp = _jnp()
+    return functools.reduce(jnp.add, xs)
+
+
+@op("Mean")
+def _mean(node, *xs):
+    jnp = _jnp()
+    return functools.reduce(jnp.add, xs) / len(xs)
+
+
+@op("Where")
+def _where(node, c, a, b):
+    return _jnp().where(c, a, b)
+
+
+@op("Equal")
+def _eq(node, a, b):
+    return _jnp().equal(a, b)
+
+
+@op("Greater")
+def _gt(node, a, b):
+    return _jnp().greater(a, b)
+
+
+@op("GreaterOrEqual")
+def _ge(node, a, b):
+    return _jnp().greater_equal(a, b)
+
+
+@op("Less")
+def _lt(node, a, b):
+    return _jnp().less(a, b)
+
+
+@op("LessOrEqual")
+def _le(node, a, b):
+    return _jnp().less_equal(a, b)
+
+
+@op("Not")
+def _not(node, a):
+    return _jnp().logical_not(a)
+
+
+@op("And")
+def _and(node, a, b):
+    return _jnp().logical_and(a, b)
+
+
+@op("Or")
+def _or(node, a, b):
+    return _jnp().logical_or(a, b)
+
+
+@op("Cast")
+def _cast(node, a):
+    to = _NP_OF_ONNX[node.attrs["to"]]
+    return _jnp().asarray(a).astype(to)
+
+
+@op("CastLike")
+def _castlike(node, a, b):
+    return _jnp().asarray(a).astype(_jnp().asarray(b).dtype)
+
+
+@op("Identity", "Dropout")
+def _identity(node, a, *rest):
+    return a
+
+
+# matmul / gemm --------------------------------------------------------------
+
+@op("MatMul")
+def _matmul(node, a, b):
+    return _jnp().matmul(a, b)
+
+
+@op("Gemm")
+def _gemm(node, a, b, c=None):
+    jnp = _jnp()
+    alpha = node.attrs.get("alpha", 1.0)
+    beta = node.attrs.get("beta", 1.0)
+    if node.attrs.get("transA", 0):
+        a = jnp.swapaxes(a, -1, -2)
+    if node.attrs.get("transB", 0):
+        b = jnp.swapaxes(b, -1, -2)
+    y = alpha * jnp.matmul(a, b)
+    if c is not None:
+        y = y + beta * jnp.asarray(c)
+    return y
+
+
+@op("Einsum")
+def _einsum(node, *xs):
+    return _jnp().einsum(node.attrs["equation"], *xs)
+
+
+# quantization ---------------------------------------------------------------
+
+@op("DynamicQuantizeLinear")
+def _dql(node, x):
+    jnp = _jnp()
+    x = jnp.asarray(x, jnp.float32)
+    mn = jnp.minimum(jnp.min(x), 0.0)
+    mx = jnp.maximum(jnp.max(x), 0.0)
+    scale = (mx - mn) / 255.0
+    scale = jnp.where(scale == 0, 1.0, scale)
+    zp = jnp.clip(jnp.round(0.0 - mn / scale), 0, 255).astype(jnp.uint8)
+    q = jnp.clip(jnp.round(x / scale) + zp.astype(jnp.float32), 0, 255).astype(jnp.uint8)
+    return q, scale.astype(jnp.float32), zp
+
+
+@op("MatMulInteger")
+def _mmi(node, a, b, azp=None, bzp=None):
+    jnp = _jnp()
+    a32 = jnp.asarray(a).astype(jnp.int32)
+    b32 = jnp.asarray(b).astype(jnp.int32)
+    if azp is not None:
+        a32 = a32 - jnp.asarray(azp).astype(jnp.int32)
+    if bzp is not None:
+        bzp32 = jnp.asarray(bzp).astype(jnp.int32)
+        # per-column zero point broadcasts over the K axis
+        b32 = b32 - bzp32
+    return jnp.matmul(a32, b32)
+
+
+@op("ConvInteger")
+def _convinteger(node, x, w, xzp=None, wzp=None):
+    jnp = _jnp()
+    x32 = jnp.asarray(x).astype(jnp.int32)
+    w32 = jnp.asarray(w).astype(jnp.int32)
+    if xzp is not None:
+        x32 = x32 - jnp.asarray(xzp).astype(jnp.int32)
+    if wzp is not None:
+        w32 = w32 - jnp.asarray(wzp).astype(jnp.int32)
+    return _conv_impl(node, x32, w32, None)
+
+
+@op("QuantizeLinear")
+def _ql(node, x, scale, zp=None):
+    jnp = _jnp()
+    axis = node.attrs.get("axis", 1)
+    s = jnp.asarray(scale)
+    x = jnp.asarray(x)
+    if s.ndim == 1 and s.shape[0] > 1:
+        shape = [1] * x.ndim
+        shape[axis] = s.shape[0]
+        s = s.reshape(shape)
+    y = jnp.round(x / s)
+    if zp is not None:
+        z = jnp.asarray(zp)
+        if z.ndim == 1 and z.shape[0] > 1:
+            shape = [1] * x.ndim
+            shape[axis] = z.shape[0]
+            z = z.reshape(shape)
+        y = y + z.astype(y.dtype)
+        lo, hi = (0, 255) if z.dtype == jnp.uint8 else (-128, 127)
+        return jnp.clip(y, lo, hi).astype(z.dtype)
+    return jnp.clip(y, -128, 127).astype(jnp.int8)
+
+
+@op("DequantizeLinear")
+def _dql2(node, x, scale, zp=None):
+    jnp = _jnp()
+    axis = node.attrs.get("axis", 1)
+    x = jnp.asarray(x).astype(jnp.float32)
+    s = jnp.asarray(scale)
+    z = None if zp is None else jnp.asarray(zp).astype(jnp.float32)
+    if s.ndim == 1 and s.shape[0] > 1:
+        shape = [1] * x.ndim
+        shape[axis] = s.shape[0]
+        s = s.reshape(shape)
+        if z is not None:
+            z = z.reshape(shape)
+    if z is not None:
+        x = x - z
+    return x * s
+
+
+# shape / structure ----------------------------------------------------------
+
+@op("Shape")
+def _shape(node, a):
+    shape = np.asarray(a).shape if _is_static(a) else a.shape
+    start = node.attrs.get("start", 0)
+    end = node.attrs.get("end", len(shape))
+    return np.array(shape[start:end], np.int64)
+
+
+@op("Size")
+def _size(node, a):
+    shape = np.asarray(a).shape if _is_static(a) else a.shape
+    return np.array(int(np.prod(shape)), np.int64)
+
+
+@op("Reshape")
+def _reshape(node, a, shape):
+    tgt = [int(s) for s in _static(shape, "Reshape shape").reshape(-1)]
+    src = list((np.asarray(a) if _is_static(a) else a).shape)
+    out = []
+    for i, s in enumerate(tgt):
+        if s == 0 and not node.attrs.get("allowzero", 0):
+            out.append(src[i])
+        else:
+            out.append(s)
+    return _jnp().reshape(a, out)
+
+
+@op("Transpose")
+def _transpose(node, a):
+    perm = node.attrs.get("perm")
+    jnp = _jnp()
+    if perm is None:
+        return jnp.transpose(a)
+    return jnp.transpose(a, [int(p) for p in perm])
+
+
+@op("Concat")
+def _concat(node, *xs):
+    return _jnp().concatenate([x for x in xs if x is not None], axis=int(node.attrs["axis"]))
+
+
+@op("Split")
+def _split(node, a, split=None):
+    jnp = _jnp()
+    axis = int(node.attrs.get("axis", 0))
+    x = jnp.asarray(a)
+    if split is None and "split" in node.attrs:
+        split = node.attrs["split"]
+    if split is None:
+        n = int(node.attrs.get("num_outputs", len(node.outputs)))
+        return tuple(jnp.split(x, n, axis=axis))
+    sizes = [int(s) for s in _static(split, "Split sizes").reshape(-1)]
+    idx = np.cumsum(sizes)[:-1].tolist()
+    return tuple(jnp.split(x, idx, axis=axis))
+
+
+@op("Slice")
+def _slice(node, a, starts=None, ends=None, axes=None, steps=None):
+    if starts is None:  # opset-1 style: attrs
+        starts = node.attrs["starts"]
+        ends = node.attrs["ends"]
+        axes = node.attrs.get("axes")
+    starts = [int(v) for v in _static(starts, "Slice starts").reshape(-1)]
+    ends = [int(v) for v in _static(ends, "Slice ends").reshape(-1)]
+    x = _jnp().asarray(a)
+    nd = x.ndim
+    if axes is None:
+        axes_l = list(range(len(starts)))
+    else:
+        axes_l = [int(v) % nd for v in _static(axes, "Slice axes").reshape(-1)]
+    steps_l = ([int(v) for v in _static(steps, "Slice steps").reshape(-1)]
+               if steps is not None else [1] * len(starts))
+    sl = [slice(None)] * nd
+    for ax, st, en, sp in zip(axes_l, starts, ends, steps_l):
+        sl[ax] = slice(st, None if en >= 2 ** 62 else en, sp)
+    return x[tuple(sl)]
+
+
+@op("Gather")
+def _gather(node, a, idx):
+    axis = int(node.attrs.get("axis", 0))
+    return _jnp().take(a, _jnp().asarray(idx), axis=axis)
+
+
+@op("GatherElements")
+def _gather_elems(node, a, idx):
+    axis = int(node.attrs.get("axis", 0))
+    return _jnp().take_along_axis(_jnp().asarray(a), _jnp().asarray(idx), axis=axis)
+
+
+@op("Squeeze")
+def _squeeze(node, a, axes=None):
+    jnp = _jnp()
+    x = jnp.asarray(a)
+    if axes is None and "axes" in node.attrs:
+        axes = node.attrs["axes"]
+    if axes is None:
+        return jnp.squeeze(x)
+    ax = [int(v) % x.ndim for v in np.asarray(_static(axes, "Squeeze axes")).reshape(-1)]
+    return jnp.squeeze(x, axis=tuple(ax))
+
+
+@op("Unsqueeze")
+def _unsqueeze(node, a, axes=None):
+    jnp = _jnp()
+    x = jnp.asarray(a)
+    if axes is None:
+        axes = node.attrs["axes"]
+    ax = sorted(int(v) % (x.ndim + len(np.asarray(axes).reshape(-1)))
+                for v in np.asarray(_static(axes, "Unsqueeze axes")).reshape(-1))
+    for a_i in ax:
+        x = jnp.expand_dims(x, a_i)
+    return x
+
+
+@op("Expand")
+def _expand(node, a, shape):
+    tgt = [int(s) for s in _static(shape, "Expand shape").reshape(-1)]
+    jnp = _jnp()
+    x = jnp.asarray(a)
+    # ONNX Expand: result dims = broadcast(x.shape, tgt) (tgt may be 1)
+    nd = max(x.ndim, len(tgt))
+    xs = [1] * (nd - x.ndim) + list(x.shape)
+    ts = [1] * (nd - len(tgt)) + tgt
+    out = [max(a_, b_) for a_, b_ in zip(xs, ts)]
+    return jnp.broadcast_to(x.reshape(xs), out)
+
+
+@op("Tile")
+def _tile(node, a, repeats):
+    reps = [int(r) for r in _static(repeats, "Tile repeats").reshape(-1)]
+    return _jnp().tile(a, reps)
+
+
+@op("Flatten")
+def _flatten(node, a):
+    axis = int(node.attrs.get("axis", 1))
+    x = _jnp().asarray(a)
+    lead = int(np.prod(x.shape[:axis])) if axis > 0 else 1
+    return x.reshape(lead, -1)
+
+
+@op("Pad")
+def _pad(node, a, pads=None, value=None, axes=None):
+    jnp = _jnp()
+    x = jnp.asarray(a)
+    if pads is None:
+        pads = node.attrs["pads"]
+    p = [int(v) for v in _static(pads, "Pad pads").reshape(-1)]
+    if axes is not None:
+        ax = [int(v) % x.ndim for v in _static(axes, "Pad axes").reshape(-1)]
+    else:
+        ax = list(range(x.ndim))
+    n = len(p) // 2
+    width = [(0, 0)] * x.ndim
+    for i, a_i in enumerate(ax):
+        width[a_i] = (p[i], p[i + n])
+    mode = node.attrs.get("mode", "constant")
+    if mode == "constant":
+        cv = 0 if value is None else np.asarray(_static(value, "Pad value")).item()
+        return jnp.pad(x, width, constant_values=cv)
+    return jnp.pad(x, width, mode={"reflect": "reflect", "edge": "edge"}[mode])
+
+
+@op("Constant")
+def _constant(node):
+    for k in ("value", "value_float", "value_int", "value_floats", "value_ints"):
+        if k in node.attrs:
+            v = node.attrs[k]
+            return np.asarray(v)
+    raise NotImplementedError("Constant without value")
+
+
+@op("ConstantOfShape")
+def _cos(node, shape):
+    dims = [int(s) for s in _static(shape, "ConstantOfShape input").reshape(-1)]
+    v = node.attrs.get("value")
+    if v is None:
+        return np.zeros(dims, np.float32)
+    return np.full(dims, np.asarray(v).reshape(-1)[0], np.asarray(v).dtype)
+
+
+@op("Range")
+def _range(node, start, limit, delta):
+    s = np.asarray(_static(start, "Range start")).item()
+    l = np.asarray(_static(limit, "Range limit")).item()
+    d = np.asarray(_static(delta, "Range delta")).item()
+    return np.arange(s, l, d)
+
+
+@op("OneHot")
+def _onehot(node, indices, depth, values):
+    import jax
+
+    d = int(np.asarray(_static(depth, "OneHot depth")).item())
+    off, on = [np.asarray(_static(values, "OneHot values")).reshape(-1)[i] for i in (0, 1)]
+    axis = int(node.attrs.get("axis", -1))
+    oh = jax.nn.one_hot(_jnp().asarray(indices), d, axis=axis)
+    return oh * (on - off) + off
+
+
+@op("TopK")
+def _topk(node, x, k):
+    import jax
+
+    kk = int(np.asarray(_static(k, "TopK k")).item())
+    axis = int(node.attrs.get("axis", -1))
+    jnp = _jnp()
+    xx = jnp.asarray(x)
+    if axis not in (-1, xx.ndim - 1):
+        xx = jnp.moveaxis(xx, axis, -1)
+    vals, idx = jax.lax.top_k(xx, kk)
+    if axis not in (-1, xx.ndim - 1):
+        vals = jnp.moveaxis(vals, -1, axis)
+        idx = jnp.moveaxis(idx, -1, axis)
+    return vals, idx.astype(jnp.int64)
+
+
+@op("ArgMax")
+def _argmax(node, x):
+    axis = int(node.attrs.get("axis", 0))
+    keep = node.attrs.get("keepdims", 1)
+    jnp = _jnp()
+    out = jnp.argmax(x, axis=axis).astype(jnp.int64)
+    if keep:
+        out = jnp.expand_dims(out, axis)
+    return out
+
+
+@op("ArgMin")
+def _argmin(node, x):
+    axis = int(node.attrs.get("axis", 0))
+    keep = node.attrs.get("keepdims", 1)
+    jnp = _jnp()
+    out = jnp.argmin(x, axis=axis).astype(jnp.int64)
+    if keep:
+        out = jnp.expand_dims(out, axis)
+    return out
+
+
+@op("CumSum")
+def _cumsum(node, x, axis):
+    ax = int(np.asarray(_static(axis, "CumSum axis")).item())
+    if node.attrs.get("exclusive", 0) or node.attrs.get("reverse", 0):
+        raise NotImplementedError("CumSum exclusive/reverse")
+    return _jnp().cumsum(x, axis=ax)
+
+
+# reductions -----------------------------------------------------------------
+
+def _reduce(node, x, axes, fn):
+    jnp = _jnp()
+    xx = jnp.asarray(x)
+    keep = bool(node.attrs.get("keepdims", 1))
+    if axes is None and "axes" in node.attrs:
+        axes = node.attrs["axes"]
+    if axes is None:
+        if node.attrs.get("noop_with_empty_axes", 0):
+            return xx
+        ax = None
+    else:
+        ax = tuple(int(v) % xx.ndim for v in np.asarray(_static(axes, "Reduce axes")).reshape(-1))
+    return fn(xx, axis=ax, keepdims=keep)
+
+
+@op("ReduceMean")
+def _rmean(node, x, axes=None):
+    return _reduce(node, x, axes, _jnp().mean)
+
+
+@op("ReduceSum")
+def _rsum(node, x, axes=None):
+    return _reduce(node, x, axes, _jnp().sum)
+
+
+@op("ReduceMax")
+def _rmax(node, x, axes=None):
+    return _reduce(node, x, axes, _jnp().max)
+
+
+@op("ReduceMin")
+def _rmin(node, x, axes=None):
+    return _reduce(node, x, axes, _jnp().min)
+
+
+@op("ReduceProd")
+def _rprod(node, x, axes=None):
+    return _reduce(node, x, axes, _jnp().prod)
+
+
+@op("ReduceL2")
+def _rl2(node, x, axes=None):
+    jnp = _jnp()
+    return jnp.sqrt(_reduce(node, jnp.square(jnp.asarray(x)), axes, jnp.sum))
+
+
+@op("ReduceLogSumExp")
+def _rlse(node, x, axes=None):
+    import jax
+
+    jnp = _jnp()
+
+    def lse(v, axis=None, keepdims=False):
+        return jax.scipy.special.logsumexp(v, axis=axis, keepdims=keepdims)
+
+    return _reduce(node, x, axes, lse)
+
+
+# nn -------------------------------------------------------------------------
+
+@op("Softmax")
+def _softmax(node, x):
+    import jax
+
+    axis = int(node.attrs.get("axis", -1))
+    return jax.nn.softmax(x, axis=axis)
+
+
+@op("LogSoftmax")
+def _logsoftmax(node, x):
+    import jax
+
+    axis = int(node.attrs.get("axis", -1))
+    return jax.nn.log_softmax(x, axis=axis)
+
+
+@op("LayerNormalization")
+def _layernorm(node, x, scale, bias=None):
+    jnp = _jnp()
+    axis = int(node.attrs.get("axis", -1))
+    eps = node.attrs.get("epsilon", 1e-5)
+    xx = jnp.asarray(x, jnp.float32)
+    axes = tuple(range(axis % xx.ndim, xx.ndim))
+    mu = jnp.mean(xx, axis=axes, keepdims=True)
+    var = jnp.var(xx, axis=axes, keepdims=True)
+    y = (xx - mu) / jnp.sqrt(var + eps) * scale
+    if bias is not None:
+        y = y + jnp.asarray(bias)
+    return y
+
+
+@op("BatchNormalization")
+def _batchnorm(node, x, scale, bias, mean, var):
+    jnp = _jnp()
+    eps = node.attrs.get("epsilon", 1e-5)
+    xx = jnp.asarray(x)
+    shape = [1] * xx.ndim
+    shape[1] = -1
+    s = jnp.asarray(scale).reshape(shape)
+    b = jnp.asarray(bias).reshape(shape)
+    m = jnp.asarray(mean).reshape(shape)
+    v = jnp.asarray(var).reshape(shape)
+    return (xx - m) / jnp.sqrt(v + eps) * s + b
+
+
+@op("InstanceNormalization")
+def _instancenorm(node, x, scale, bias):
+    jnp = _jnp()
+    eps = node.attrs.get("epsilon", 1e-5)
+    xx = jnp.asarray(x)
+    axes = tuple(range(2, xx.ndim))
+    mu = jnp.mean(xx, axis=axes, keepdims=True)
+    var = jnp.var(xx, axis=axes, keepdims=True)
+    shape = [1] * xx.ndim
+    shape[1] = -1
+    return ((xx - mu) / jnp.sqrt(var + eps) * jnp.asarray(scale).reshape(shape)
+            + jnp.asarray(bias).reshape(shape))
+
+
+@op("GroupNormalization")
+def _groupnorm(node, x, scale, bias):
+    jnp = _jnp()
+    eps = node.attrs.get("epsilon", 1e-5)
+    g = int(node.attrs["num_groups"])
+    xx = jnp.asarray(x)
+    n, c = xx.shape[0], xx.shape[1]
+    rest = xx.shape[2:]
+    xg = xx.reshape(n, g, c // g, *rest)
+    axes = tuple(range(2, xg.ndim))
+    mu = jnp.mean(xg, axis=axes, keepdims=True)
+    var = jnp.var(xg, axis=axes, keepdims=True)
+    y = ((xg - mu) / jnp.sqrt(var + eps)).reshape(xx.shape)
+    shape = [1, c] + [1] * len(rest)
+    return y * jnp.asarray(scale).reshape(shape) + jnp.asarray(bias).reshape(shape)
+
+
+def _conv_impl(node, x, w, b):
+    import jax.lax as lax
+
+    jnp = _jnp()
+    xx = jnp.asarray(x)
+    ww = jnp.asarray(w)
+    nsp = xx.ndim - 2
+    strides = [int(s) for s in node.attrs.get("strides", [1] * nsp)]
+    dilations = [int(d) for d in node.attrs.get("dilations", [1] * nsp)]
+    group = int(node.attrs.get("group", 1))
+    kernel = [int(k) for k in node.attrs.get("kernel_shape", ww.shape[2:])]
+    auto_pad = node.attrs.get("auto_pad", "NOTSET")
+    if auto_pad in ("SAME_UPPER", "SAME_LOWER"):
+        pads = _auto_pads(auto_pad, xx.shape[2:], kernel, strides, dilations)
+    elif auto_pad == "VALID":
+        pads = [(0, 0)] * nsp
+    else:
+        pads = _pairs([int(p) for p in node.attrs.get("pads", [0] * (2 * nsp))])
+    dim_chars = "DHW"[3 - nsp:]
+    dn = lax.conv_dimension_numbers(
+        xx.shape, ww.shape,
+        ("NC" + dim_chars, "OI" + dim_chars, "NC" + dim_chars))
+    pe = None
+    if jnp.issubdtype(xx.dtype, jnp.integer):
+        pe = jnp.int32
+    out = lax.conv_general_dilated(
+        xx, ww, strides, pads, rhs_dilation=dilations, dimension_numbers=dn,
+        feature_group_count=group, preferred_element_type=pe)
+    if b is not None:
+        out = out + jnp.asarray(b).reshape((1, -1) + (1,) * nsp)
+    return out
+
+
+@op("Conv")
+def _conv(node, x, w, b=None):
+    return _conv_impl(node, x, w, b)
+
+
+@op("ConvTranspose")
+def _convtranspose(node, x, w, b=None):
+    import jax.lax as lax
+
+    jnp = _jnp()
+    xx = jnp.asarray(x)
+    ww = jnp.asarray(w)  # [C_in, C_out/group, *k]
+    nsp = xx.ndim - 2
+    strides = [int(s) for s in node.attrs.get("strides", [1] * nsp)]
+    dilations = [int(d) for d in node.attrs.get("dilations", [1] * nsp)]
+    group = int(node.attrs.get("group", 1))
+    if group != 1:
+        raise NotImplementedError("grouped ConvTranspose")
+    pads = _pairs([int(p) for p in node.attrs.get("pads", [0] * (2 * nsp))])
+    out_pad = [int(p) for p in node.attrs.get("output_padding", [0] * nsp)]
+    kernel = list(ww.shape[2:])
+    # ONNX convtranspose == gradient of conv: lhs-dilate by stride, pad by
+    # (k-1)*d - pad on each side, flip kernel, swap I/O channels.
+    ww_t = jnp.flip(ww, axis=tuple(range(2, ww.ndim))).swapaxes(0, 1)
+    pad_pairs = []
+    for i in range(nsp):
+        eff = (kernel[i] - 1) * dilations[i]
+        pad_pairs.append((eff - pads[i][0], eff - pads[i][1] + out_pad[i]))
+    dim_chars = "DHW"[3 - nsp:]
+    dn = lax.conv_dimension_numbers(
+        xx.shape, ww_t.shape, ("NC" + dim_chars, "OI" + dim_chars, "NC" + dim_chars))
+    out = lax.conv_general_dilated(
+        xx, ww_t, [1] * nsp, pad_pairs, lhs_dilation=strides,
+        rhs_dilation=dilations, dimension_numbers=dn)
+    if b is not None:
+        out = out + jnp.asarray(b).reshape((1, -1) + (1,) * nsp)
+    return out
+
+
+def _pool(node, x, reducer, init, avg=False):
+    import jax.lax as lax
+
+    jnp = _jnp()
+    xx = jnp.asarray(x)
+    nsp = xx.ndim - 2
+    kernel = [int(k) for k in node.attrs["kernel_shape"]]
+    strides = [int(s) for s in node.attrs.get("strides", [1] * nsp)]
+    auto_pad = node.attrs.get("auto_pad", "NOTSET")
+    if auto_pad in ("SAME_UPPER", "SAME_LOWER"):
+        pads = _auto_pads(auto_pad, xx.shape[2:], kernel, strides, [1] * nsp)
+    else:
+        pads = _pairs([int(p) for p in node.attrs.get("pads", [0] * (2 * nsp))])
+    if node.attrs.get("ceil_mode", 0):
+        new_pads = []
+        for i in range(nsp):
+            x_i = xx.shape[2 + i] + pads[i][0] + pads[i][1]
+            rem = (x_i - kernel[i]) % strides[i]
+            extra = (strides[i] - rem) % strides[i] if rem else 0
+            new_pads.append((pads[i][0], pads[i][1] + extra))
+        pads = new_pads
+    window = (1, 1) + tuple(kernel)
+    strides_f = (1, 1) + tuple(strides)
+    pad_f = ((0, 0), (0, 0)) + tuple(pads)
+    out = lax.reduce_window(xx, init, reducer, window, strides_f, pad_f)
+    if avg:
+        if node.attrs.get("count_include_pad", 0):
+            out = out / float(np.prod(kernel))
+        else:
+            ones = jnp.ones(xx.shape, xx.dtype)
+            cnt = lax.reduce_window(ones, 0.0, lax.add, window, strides_f, pad_f)
+            out = out / cnt
+    return out
+
+
+@op("MaxPool")
+def _maxpool(node, x):
+    import jax.lax as lax
+
+    return _pool(node, x, lax.max, -np.inf)
+
+
+@op("AveragePool")
+def _avgpool(node, x):
+    import jax.lax as lax
+
+    return _pool(node, x, lax.add, 0.0, avg=True)
+
+
+@op("GlobalAveragePool")
+def _gap(node, x):
+    jnp = _jnp()
+    xx = jnp.asarray(x)
+    return jnp.mean(xx, axis=tuple(range(2, xx.ndim)), keepdims=True)
+
+
+@op("GlobalMaxPool")
+def _gmp(node, x):
+    jnp = _jnp()
+    xx = jnp.asarray(x)
+    return jnp.max(xx, axis=tuple(range(2, xx.ndim)), keepdims=True)
+
+
+# recurrent ------------------------------------------------------------------
+
+def _rnn_activation(name: str):
+    import jax
+
+    jnp = _jnp()
+    return {
+        "Sigmoid": jax.nn.sigmoid, "Tanh": jnp.tanh, "Relu": lambda v: jnp.maximum(v, 0),
+    }[name if isinstance(name, str) else name.decode()]
+
+
+@op("LSTM")
+def _lstm(node, x, w, r, b=None, seq_lens=None, init_h=None, init_c=None, p=None):
+    """ONNX LSTM (layout 0): X [T, B, I]; W [D, 4H, I]; R [D, 4H, H];
+    B [D, 8H]. Gate order i, o, f, c. Returns (Y [T, D, B, H], Y_h, Y_c)."""
+    import jax
+    from jax import lax
+
+    jnp = _jnp()
+    if seq_lens is not None:
+        raise NotImplementedError("LSTM sequence_lens")
+    if p is not None:
+        raise NotImplementedError("LSTM peepholes")
+    if node.attrs.get("layout", 0):
+        x = jnp.swapaxes(jnp.asarray(x), 0, 1)
+    acts = node.attrs.get("activations")
+    f_act, g_act, h_act = (
+        (_rnn_activation(acts[0]), _rnn_activation(acts[1]), _rnn_activation(acts[2]))
+        if acts else (jax.nn.sigmoid, jnp.tanh, jnp.tanh))
+    xx = jnp.asarray(x, jnp.float32)
+    T, B, _ = xx.shape
+    ww, rr = jnp.asarray(w, jnp.float32), jnp.asarray(r, jnp.float32)
+    D = ww.shape[0]
+    H = rr.shape[2]
+    bb = (jnp.asarray(b, jnp.float32) if b is not None
+          else jnp.zeros((D, 8 * H), jnp.float32))
+    h0 = (jnp.asarray(init_h, jnp.float32) if init_h is not None
+          else jnp.zeros((D, B, H), jnp.float32))
+    c0 = (jnp.asarray(init_c, jnp.float32) if init_c is not None
+          else jnp.zeros((D, B, H), jnp.float32))
+    direction = node.attrs.get("direction", "forward")
+
+    def run_dir(d, reverse):
+        wb = bb[d, : 4 * H] + bb[d, 4 * H:]
+        xs = jnp.einsum("tbi,gi->tbg", xx, ww[d]) + wb  # [T, B, 4H]
+        if reverse:
+            xs = jnp.flip(xs, axis=0)
+
+        def step(carry, xg):
+            h, c = carry
+            g = xg + jnp.einsum("bh,gh->bg", h, rr[d])
+            i_g = f_act(g[:, 0 * H:1 * H])
+            o_g = f_act(g[:, 1 * H:2 * H])
+            f_g = f_act(g[:, 2 * H:3 * H])
+            c_t = g_act(g[:, 3 * H:4 * H])
+            c_new = f_g * c + i_g * c_t
+            h_new = o_g * h_act(c_new)
+            return (h_new, c_new), h_new
+
+        (h_f, c_f), ys = lax.scan(step, (h0[d], c0[d]), xs)
+        if reverse:
+            ys = jnp.flip(ys, axis=0)
+        return ys, h_f, c_f
+
+    if direction == "bidirectional":
+        y_f, h_f, c_f = run_dir(0, False)
+        y_b, h_b, c_b = run_dir(1, True)
+        y = jnp.stack([y_f, y_b], axis=1)  # [T, 2, B, H]
+        yh = jnp.stack([h_f, h_b], axis=0)
+        yc = jnp.stack([c_f, c_b], axis=0)
+    else:
+        rev = direction == "reverse"
+        ys, hf, cf = run_dir(0, rev)
+        y = ys[:, None]
+        yh = hf[None]
+        yc = cf[None]
+    if node.attrs.get("layout", 0):
+        y = jnp.transpose(y, (2, 0, 1, 3))
+        yh = jnp.swapaxes(yh, 0, 1)
+        yc = jnp.swapaxes(yc, 0, 1)
+    return y, yh, yc
+
+
+@op("GRU")
+def _gru(node, x, w, r, b=None, seq_lens=None, init_h=None):
+    """ONNX GRU: gate order z, r, h; torch exports use linear_before_reset=1."""
+    import jax
+    from jax import lax
+
+    jnp = _jnp()
+    if seq_lens is not None:
+        raise NotImplementedError("GRU sequence_lens")
+    if node.attrs.get("layout", 0):
+        x = jnp.swapaxes(jnp.asarray(x), 0, 1)
+    xx = jnp.asarray(x, jnp.float32)
+    T, B, _ = xx.shape
+    ww, rr = jnp.asarray(w, jnp.float32), jnp.asarray(r, jnp.float32)
+    D = ww.shape[0]
+    H = rr.shape[2]
+    bb = (jnp.asarray(b, jnp.float32) if b is not None
+          else jnp.zeros((D, 6 * H), jnp.float32))
+    h0 = (jnp.asarray(init_h, jnp.float32) if init_h is not None
+          else jnp.zeros((D, B, H), jnp.float32))
+    lbr = node.attrs.get("linear_before_reset", 0)
+    direction = node.attrs.get("direction", "forward")
+
+    def run_dir(d, reverse):
+        xs = jnp.einsum("tbi,gi->tbg", xx, ww[d]) + bb[d, : 3 * H]
+        if reverse:
+            xs = jnp.flip(xs, axis=0)
+        rb = bb[d, 3 * H:]
+
+        def step(h, xg):
+            hr = jnp.einsum("bh,gh->bg", h, rr[d])
+            z = jax.nn.sigmoid(xg[:, :H] + hr[:, :H] + rb[:H])
+            r_g = jax.nn.sigmoid(xg[:, H:2 * H] + hr[:, H:2 * H] + rb[H:2 * H])
+            if lbr:
+                hh = jnp.tanh(xg[:, 2 * H:] + r_g * (hr[:, 2 * H:] + rb[2 * H:]))
+            else:
+                hh = jnp.tanh(xg[:, 2 * H:] + rb[2 * H:]
+                              + jnp.einsum("bh,gh->bg", r_g * h, rr[d, 2 * H:]))
+            h_new = (1 - z) * hh + z * h
+            return h_new, h_new
+
+        hf, ys = lax.scan(step, h0[d], xs)
+        if reverse:
+            ys = jnp.flip(ys, axis=0)
+        return ys, hf
+
+    if direction == "bidirectional":
+        y_f, h_f = run_dir(0, False)
+        y_b, h_b = run_dir(1, True)
+        y = jnp.stack([y_f, y_b], axis=1)
+        yh = jnp.stack([h_f, h_b], axis=0)
+    else:
+        ys, hf = run_dir(0, direction == "reverse")
+        y = ys[:, None]
+        yh = hf[None]
+    if node.attrs.get("layout", 0):
+        y = jnp.transpose(y, (2, 0, 1, 3))
+        yh = jnp.swapaxes(yh, 0, 1)
+    return y, yh

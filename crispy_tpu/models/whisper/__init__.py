@@ -40,7 +40,7 @@ class WhisperModel:
     @staticmethod
     def from_hf(path, name: Optional[str] = None) -> "WhisperModel":
         params, cfg = load_hf(path)
-        tok = WhisperTokenizer.from_hf_dir(path)
+        tok = WhisperTokenizer.from_hf_dir(path, n_vocab=cfg.n_vocab)
         return WhisperModel(params, cfg, tok, name or Path(path).name)
 
     @staticmethod
@@ -126,16 +126,19 @@ class WhisperModel:
         mel = log_mel_spectrogram(jnp.asarray(a), n_mels=self.cfg.n_mels,
                                   pad_to_chunk=True)
         tok = self.tokenizer
-        prompt = jnp.asarray(np.tile(
-            np.array(self._prompt_ids(language, initial_prompt), np.int32), (B, 1)))
+        prompt_ids = self._prompt_ids(language, initial_prompt)
+        prompt = jnp.asarray(np.tile(np.array(prompt_ids, np.int32), (B, 1)))
         ns_id = jnp.int32(min(tok.no_speech, self.cfg.n_vocab - 1))
+        # no-speech prob is read at the SOT position (≠ 0 when an
+        # initial_prompt prepends <|startofprev|> context)
+        sot_index = jnp.int32(prompt_ids.index(tok.sot) if tok.sot in prompt_ids else 0)
 
         results: List[Optional[str]] = [None] * B
         for t_i, temp in enumerate(temperatures):
             key = jax.random.PRNGKey(seed + t_i)
             tokens, lengths, lp_sum, ns_prob = sample_decode(
                 self.params, self.cfg, mel, prompt, jnp.float32(temp), key,
-                ns_id, max_new=max_new, eot=tok.eot)
+                ns_id, sot_index, max_new=max_new, eot=tok.eot)
             tokens, lengths = np.asarray(tokens), np.asarray(lengths)
             lp_sum, ns_prob = np.asarray(lp_sum), np.asarray(ns_prob)
             last = t_i == len(temperatures) - 1

@@ -182,6 +182,53 @@ def _init_cache(params, cfg: WhisperConfig, audio: jnp.ndarray, max_len: int):
     return self_k, self_v, jnp.stack(cross_k), jnp.stack(cross_v)
 
 
+def _prefill(params, cfg: WhisperConfig, prompt, self_k, self_v, cross_k, cross_v):
+    """Teacher-forced prompt prefill: one batched pass fills the KV cache at
+    positions [0, P) and returns logits for every prompt position [B, P, V].
+
+    Replaces the per-token unrolled prefill loop (round-1 ADVICE: a ~227-token
+    initial_prompt unrolled hundreds of decode steps into the jitted graph) —
+    compile time and step count are now flat in prompt length.
+    """
+    B, P = prompt.shape
+    x = params["dec.emb"][prompt] + params["dec.pos"][:P]
+    mask = jnp.triu(jnp.full((P, P), -jnp.inf, jnp.float32), k=1)
+    scale = (cfg.n_text_state // cfg.n_text_head) ** -0.25
+    for i in range(cfg.n_text_layer):
+        pre = f"dec.{i}"
+        h = _ln(x, params[f"{pre}.ln1.g"], params[f"{pre}.ln1.b"])
+        q = jnp.einsum("btd,de->bte", h, params[f"{pre}.attn.q.w"]) + params[f"{pre}.attn.q.b"]
+        k = jnp.einsum("btd,de->bte", h, params[f"{pre}.attn.k.w"])
+        v = jnp.einsum("btd,de->bte", h, params[f"{pre}.attn.v.w"]) + params[f"{pre}.attn.v.b"]
+        kh = _heads(k, cfg.n_text_head)  # [B, H, P, hd]
+        vh = _heads(v, cfg.n_text_head)
+        self_k = self_k.at[i, :, :, :P, :].set(kh)
+        self_v = self_v.at[i, :, :, :P, :].set(vh)
+        qh = _heads(q, cfg.n_text_head)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, kh * scale) + mask
+        w = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+        x = x + jnp.einsum("btd,de->bte", _merge(o), params[f"{pre}.attn.out.w"]) + params[f"{pre}.attn.out.b"]
+
+        h = _ln(x, params[f"{pre}.lnx.g"], params[f"{pre}.lnx.b"])
+        q = jnp.einsum("btd,de->bte", h, params[f"{pre}.cross.q.w"]) + params[f"{pre}.cross.q.b"]
+        o = _attn(_heads(q, cfg.n_text_head), cross_k[i], cross_v[i])
+        x = x + jnp.einsum("btd,de->bte", _merge(o), params[f"{pre}.cross.out.w"]) + params[f"{pre}.cross.out.b"]
+
+        x = x + _mlp(params, f"{pre}.mlp",
+                     _ln(x, params[f"{pre}.ln2.g"], params[f"{pre}.ln2.b"]))
+    x = _ln(x, params["dec.ln.g"], params["dec.ln.b"])
+    return jnp.einsum("btd,vd->btv", x, params["dec.emb"]), self_k, self_v
+
+
+def _clamp_max_new(cfg: WhisperConfig, P: int, max_new: int) -> int:
+    """prompt + generated tokens must fit n_text_ctx (dec.pos is [448, d];
+    out-of-range positions would silently clamp to wrong embeddings)."""
+    if P >= cfg.n_text_ctx:
+        raise ValueError(f"prompt length {P} >= n_text_ctx {cfg.n_text_ctx}")
+    return max(1, min(max_new, cfg.n_text_ctx - P))
+
+
 def _decode_step(params, cfg: WhisperConfig, tok, pos, self_k, self_v, cross_k, cross_v, max_len):
     """One cached decoder step. tok [B] int32, pos scalar int32 → logits [B, V]."""
     x = params["dec.emb"][tok][:, None, :] + lax.dynamic_slice_in_dim(params["dec.pos"], pos, 1)
@@ -237,16 +284,13 @@ def greedy_decode(
         audio = encode(params, cfg, audio)
     B, P = prompt.shape
     eot_id = cfg.eot if eot is None else eot
+    max_new = _clamp_max_new(cfg, P, max_new)
     max_len = P + max_new
     self_k, self_v, cross_k, cross_v = _init_cache(params, cfg, audio, max_len)
 
-    # Prefill the prompt one position at a time (P is small and static).
-    logits = None
-    for p_i in range(P):
-        logits, self_k, self_v = _decode_step(
-            params, cfg, prompt[:, p_i], jnp.int32(p_i), self_k, self_v,
-            cross_k, cross_v, max_len,
-        )
+    logits_all, self_k, self_v = _prefill(
+        params, cfg, prompt, self_k, self_v, cross_k, cross_v)
+    logits = logits_all[:, -1]
 
     def pick(logits):
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -282,6 +326,7 @@ def sample_decode(
     temperature: jnp.ndarray,
     rng: jnp.ndarray,
     no_speech_id: jnp.ndarray,
+    sot_index: jnp.ndarray = 0,
     max_new: int = 224,
     eot: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -292,26 +337,26 @@ def sample_decode(
     logits/temperature. Returns (tokens [B, max_new], lengths [B],
     sum_logprob [B] — log-probs of the emitted tokens incl. the closing
     eot, the whisper avg_logprob numerator — and no_speech_prob [B], the
-    probability mass on no_speech_id at the first post-SOT position).
+    probability mass on no_speech_id at the SOT prefill position —
+    sot_index points at SOT, which is not position 0 when an
+    initial_prompt prepends <|startofprev|> context).
     """
     audio = mel_or_audio
     if audio.shape[-2] == cfg.n_mels:
         audio = encode(params, cfg, audio)
     B, P = prompt.shape
     eot_id = cfg.eot if eot is None else eot
+    max_new = _clamp_max_new(cfg, P, max_new)
     max_len = P + max_new
     self_k, self_v, cross_k, cross_v = _init_cache(params, cfg, audio, max_len)
 
-    logits = None
-    no_speech_prob = jnp.zeros((B,), jnp.float32)
-    for p_i in range(P):
-        logits, self_k, self_v = _decode_step(
-            params, cfg, prompt[:, p_i], jnp.int32(p_i), self_k, self_v,
-            cross_k, cross_v, max_len,
-        )
-        if p_i == 0:  # distribution for the first generated position
-            probs = jax.nn.softmax(logits, axis=-1)
-            no_speech_prob = jnp.take(probs, no_speech_id, axis=1)
+    logits_all, self_k, self_v = _prefill(
+        params, cfg, prompt, self_k, self_v, cross_k, cross_v)
+    logits = logits_all[:, -1]
+    sot_logits = lax.dynamic_slice_in_dim(
+        logits_all, jnp.asarray(sot_index, jnp.int32), 1, axis=1)[:, 0]
+    no_speech_prob = jnp.take(jax.nn.softmax(sot_logits, axis=-1),
+                              no_speech_id, axis=1)
 
     def pick(logits, key):
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -371,6 +416,7 @@ def beam_decode(
         audio = encode(params, cfg, audio)
     B, P = prompt.shape
     eot_id = cfg.eot if eot is None else eot
+    max_new = _clamp_max_new(cfg, P, max_new)
     max_len = P + max_new
     V = params["dec.emb"].shape[0]
 
@@ -379,13 +425,9 @@ def beam_decode(
     prompt_x = jnp.repeat(prompt, beam, axis=0)
     self_k, self_v, cross_k, cross_v = _init_cache(params, cfg, audio_x, max_len)
 
-    logits = None
-    for p_i in range(P):
-        logits, self_k, self_v = _decode_step(
-            params, cfg, prompt_x[:, p_i], jnp.int32(p_i), self_k, self_v,
-            cross_k, cross_v, max_len,
-        )
-    lp = jax.nn.log_softmax(logits, axis=-1).reshape(B, beam, V)[:, 0]
+    logits_all, self_k, self_v = _prefill(
+        params, cfg, prompt_x, self_k, self_v, cross_k, cross_v)
+    lp = jax.nn.log_softmax(logits_all[:, -1], axis=-1).reshape(B, beam, V)[:, 0]
     # first expansion: top-beam tokens of beam 0 (all beams are identical)
     cum, tok0 = lax.top_k(lp, beam)  # [B, beam]
     first = tok0.astype(jnp.int32)

@@ -23,6 +23,10 @@ LANGUAGES = (
     "ba jw su"
 ).split()
 
+# large-v3 (n_vocab 51866) appends Cantonese, shifting every post-language
+# special token up by one (whisper.cpp handles both layouts; so must we).
+LANGUAGES_V3 = LANGUAGES + ["yue"]
+
 
 def _gpt2_byte_decoder() -> Dict[str, int]:
     """The standard GPT-2 printable-unicode ↔ byte mapping."""
@@ -41,13 +45,18 @@ def _gpt2_byte_decoder() -> Dict[str, int]:
 class WhisperTokenizer:
     vocab: List[bytes]  # id → raw bytes
     multilingual: bool = True
+    num_languages: Optional[int] = None  # 99 (≤v2) or 100 (v3 adds 'yue')
 
     def __post_init__(self):
+        if self.num_languages is None:
+            # v3 detection from total vocab size (51866 = v3 multilingual).
+            self.num_languages = (
+                100 if self.multilingual and len(self.vocab) >= 51866 else 99)
         base = 50257 if self.multilingual else 50256
         self.eot = base
         self.sot = base + 1
-        self.lang_base = base + 2  # 99 language tokens
-        self.translate = base + 2 + len(LANGUAGES)
+        self.lang_base = base + 2
+        self.translate = base + 2 + self.num_languages
         self.transcribe = self.translate + 1
         self.sot_lm = self.transcribe + 1
         self.sot_prev = self.sot_lm + 1
@@ -56,14 +65,24 @@ class WhisperTokenizer:
         self.timestamp_begin = self.no_timestamps + 1
         self._encoder: Optional[Dict[bytes, int]] = None
 
+    @property
+    def languages(self) -> List[str]:
+        return LANGUAGES_V3 if self.num_languages == 100 else LANGUAGES
+
     # -- construction ---------------------------------------------------------
     @staticmethod
     def from_ggml_vocab(vocab: List[bytes], n_vocab: int) -> "WhisperTokenizer":
-        return WhisperTokenizer(vocab=list(vocab), multilingual=n_vocab != 51864)
+        return WhisperTokenizer(
+            vocab=list(vocab), multilingual=n_vocab != 51864,
+            num_languages=100 if n_vocab >= 51866 else 99)
 
     @staticmethod
-    def from_hf_dir(path) -> "WhisperTokenizer":
-        """Load vocab.json (GPT-2 byte-level strings) from a HF checkpoint."""
+    def from_hf_dir(path, n_vocab: Optional[int] = None) -> "WhisperTokenizer":
+        """Load vocab.json (GPT-2 byte-level strings) from a HF checkpoint.
+
+        n_vocab (from the model config/embedding) pins the v2-vs-v3 special
+        layout; vocab.json alone carries only the text tokens.
+        """
         path = Path(path)
         with open(path / "vocab.json", encoding="utf-8") as f:
             v = json.load(f)
@@ -71,7 +90,12 @@ class WhisperTokenizer:
         vocab: List[bytes] = [b""] * (max(v.values()) + 1)
         for tok, idx in v.items():
             vocab[idx] = bytes(dec.get(ch, ord("?")) for ch in tok)
-        return WhisperTokenizer(vocab=vocab, multilingual=len(vocab) >= 50364 - 107)
+        num_languages = None
+        if n_vocab is not None:
+            num_languages = 100 if n_vocab >= 51866 else 99
+        return WhisperTokenizer(vocab=vocab,
+                                multilingual=len(vocab) >= 50364 - 107,
+                                num_languages=num_languages)
 
     @staticmethod
     def dummy(n_vocab: int) -> "WhisperTokenizer":
@@ -90,7 +114,7 @@ class WhisperTokenizer:
         seq = [self.sot]
         if self.multilingual:
             try:
-                seq.append(self.lang_base + LANGUAGES.index(language))
+                seq.append(self.lang_base + self.languages.index(language))
             except ValueError:
                 seq.append(self.lang_base)  # default en
             seq.append(self.transcribe if task == "transcribe" else self.translate)

@@ -191,6 +191,88 @@ def load_hf(model_dir) -> Tuple[Dict[str, np.ndarray], WhisperConfig]:
 
 _GGML_MAGIC = 0x67676D6C
 
+# ggml quantization block formats (public ggml layout; QK = 32 weights/block).
+# whisper.cpp's catalog ships q4_1 (whisper-medium-q4_1.bin) and q5_0
+# (ggml-large-v3-q5_0.bin) — reference managers/model.rs:100-160.
+_QK = 32
+# ggml_type value → (bytes per block, dequant fn)
+
+
+def _deq_q4_0(blocks: np.ndarray) -> np.ndarray:
+    """block: f16 d + 16B nibbles; x = (q - 8) * d."""
+    n = blocks.shape[0]
+    d = blocks[:, :2].copy().view("<f2").astype(np.float32)  # [n,1]
+    qs = blocks[:, 2:18]
+    lo = (qs & 0x0F).astype(np.int8) - 8
+    hi = (qs >> 4).astype(np.int8) - 8
+    q = np.concatenate([lo, hi], axis=1).astype(np.float32)  # [n,32]
+    return q * d
+
+
+def _deq_q4_1(blocks: np.ndarray) -> np.ndarray:
+    """block: f16 d + f16 m + 16B nibbles; x = q * d + m."""
+    d = blocks[:, :2].copy().view("<f2").astype(np.float32)
+    m = blocks[:, 2:4].copy().view("<f2").astype(np.float32)
+    qs = blocks[:, 4:20]
+    lo = (qs & 0x0F).astype(np.float32)
+    hi = (qs >> 4).astype(np.float32)
+    return np.concatenate([lo, hi], axis=1) * d + m
+
+
+def _q5_high_bits(qh_bytes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """qh: [n,4] bytes = 32 high bits; returns ([n,16], [n,16]) for lo/hi halves."""
+    qh = qh_bytes.copy().view("<u4").astype(np.uint64)  # [n,1]
+    j = np.arange(16, dtype=np.uint64)
+    bit_lo = ((qh >> j) & 1).astype(np.uint8) << 4        # weights 0..15
+    bit_hi = ((qh >> (j + 16)) & 1).astype(np.uint8) << 4  # weights 16..31
+    return bit_lo, bit_hi
+
+
+def _deq_q5_0(blocks: np.ndarray) -> np.ndarray:
+    """block: f16 d + 4B qh + 16B nibbles; x = ((q | bit<<4) - 16) * d."""
+    d = blocks[:, :2].copy().view("<f2").astype(np.float32)
+    bit_lo, bit_hi = _q5_high_bits(blocks[:, 2:6])
+    qs = blocks[:, 6:22]
+    lo = ((qs & 0x0F) | bit_lo).astype(np.int16) - 16
+    hi = ((qs >> 4) | bit_hi).astype(np.int16) - 16
+    return np.concatenate([lo, hi], axis=1).astype(np.float32) * d
+
+
+def _deq_q5_1(blocks: np.ndarray) -> np.ndarray:
+    """block: f16 d + f16 m + 4B qh + 16B nibbles; x = (q | bit<<4) * d + m."""
+    d = blocks[:, :2].copy().view("<f2").astype(np.float32)
+    m = blocks[:, 2:4].copy().view("<f2").astype(np.float32)
+    bit_lo, bit_hi = _q5_high_bits(blocks[:, 4:8])
+    qs = blocks[:, 8:24]
+    lo = ((qs & 0x0F) | bit_lo).astype(np.float32)
+    hi = ((qs >> 4) | bit_hi).astype(np.float32)
+    return np.concatenate([lo, hi], axis=1) * d + m
+
+
+def _deq_q8_0(blocks: np.ndarray) -> np.ndarray:
+    """block: f16 d + 32 int8; x = q * d."""
+    d = blocks[:, :2].copy().view("<f2").astype(np.float32)
+    q = blocks[:, 2:34].view(np.int8).astype(np.float32)
+    return q * d
+
+
+# ggml_type enum values as stored per-tensor in whisper.cpp model files.
+_GGML_QUANT = {
+    2: (18, _deq_q4_0),
+    3: (20, _deq_q4_1),
+    6: (22, _deq_q5_0),
+    7: (24, _deq_q5_1),
+    8: (34, _deq_q8_0),
+}
+
+
+def dequantize_ggml(data: bytes, ttype: int, count: int) -> np.ndarray:
+    """Dequantize a ggml-quantized tensor payload to float32 [count]."""
+    block_bytes, fn = _GGML_QUANT[ttype]
+    n_blocks = count // _QK
+    blocks = np.frombuffer(data, np.uint8).reshape(n_blocks, block_bytes)
+    return fn(blocks).reshape(-1)[:count]
+
 # OpenAI-style tensor names (as stored in ggml files) → our naming.
 _GGML_STATIC = {
     "encoder.positional_embedding": "enc.pos",
@@ -250,7 +332,9 @@ def load_ggml(path) -> Tuple[Dict[str, np.ndarray], WhisperConfig, List[bytes], 
     """Parse a whisper.cpp ggml model file.
 
     Returns (params, config, vocab_tokens, mel_filters). Supports f32/f16
-    tensors (ftype 0/1); quantized ggml variants raise.
+    tensors plus the ggml quantized formats the reference catalog ships
+    (q4_0/q4_1/q5_0/q5_1/q8_0 — whisper-medium-q4_1.bin and
+    ggml-large-v3-q5_0.bin, managers/model.rs:100-160), dequantized to f32.
     """
     with open(path, "rb") as f:
         (magic,) = struct.unpack("<I", f.read(4))
@@ -286,14 +370,17 @@ def load_ggml(path) -> Tuple[Dict[str, np.ndarray], WhisperConfig, List[bytes], 
             n_dims, name_len, t_ftype = struct.unpack("<3i", head)
             dims = struct.unpack(f"<{n_dims}i", f.read(4 * n_dims))
             name = f.read(name_len).decode("utf-8")
-            if t_ftype == 0:
-                dt, isize = "<f4", 4
-            elif t_ftype == 1:
-                dt, isize = "<f2", 2
-            else:
-                raise ValueError(f"quantized ggml tensor {name} (ftype {t_ftype}) unsupported")
             count = int(np.prod(dims))
-            data = np.frombuffer(f.read(isize * count), dt).astype(np.float32)
+            if t_ftype == 0:
+                data = np.frombuffer(f.read(4 * count), "<f4").astype(np.float32)
+            elif t_ftype == 1:
+                data = np.frombuffer(f.read(2 * count), "<f2").astype(np.float32)
+            elif t_ftype in _GGML_QUANT:
+                block_bytes, _ = _GGML_QUANT[t_ftype]
+                nbytes = (count // _QK) * block_bytes
+                data = dequantize_ggml(f.read(nbytes), t_ftype, count)
+            else:
+                raise ValueError(f"ggml tensor {name}: unsupported type {t_ftype}")
             # ggml dims are innermost-first; numpy shape is the reverse.
             raw[name] = data.reshape(tuple(reversed(dims)))
 

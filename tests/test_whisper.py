@@ -183,8 +183,24 @@ class TestTokenizer:
         assert t.timestamp_begin == 50364
         assert t.sot_sequence("de") == [50258, 50259 + LANGUAGES.index("de"), 50359, 50363]
 
+    def test_special_layout_v3(self):
+        """large-v3 (n_vocab 51866) adds 'yue', shifting post-language ids +1
+        (whisper.cpp v3 layout; ADVICE r1 high)."""
+        t = WhisperTokenizer(vocab=[b""] * 51866)
+        assert t.num_languages == 100
+        assert (t.eot, t.sot) == (50257, 50258)
+        assert t.translate == 50359 and t.transcribe == 50360
+        assert t.no_speech == 50363 and t.no_timestamps == 50364
+        assert t.timestamp_begin == 50365
+        assert t.sot_sequence("yue") == [50258, 50259 + 99, 50360, 50364]
+        # ggml-hparams path pins the same layout without relying on vocab len
+        t2 = WhisperTokenizer.from_ggml_vocab([b""] * 51866, 51866)
+        assert t2.transcribe == 50360 and t2.timestamp_begin == 50365
+        t3 = WhisperTokenizer.from_ggml_vocab([b""] * 51865, 51865)
+        assert t3.transcribe == 50359 and t3.timestamp_begin == 50364
+
     def test_decode_skips_specials_and_timestamps(self):
-        t = WhisperTokenizer(vocab=[b"hel", b"lo", b" wor", b"ld"] + [b""] * 60000)
+        t = WhisperTokenizer(vocab=[b"hel", b"lo", b" wor", b"ld"] + [b""] * (51865 - 4))
         ids = [50258, 0, 1, 2, 3, 50364 + 50, 50257]
         assert t.decode(ids) == "hello world"
         assert "<|1.00|>" in t.decode(ids, with_timestamps=True)
@@ -288,6 +304,37 @@ def test_sample_decode_temperature_deterministic_per_key():
     t2, *_ = sample_decode(*args, jnp.float32(1.0), jax.random.PRNGKey(7),
                            jnp.int32(0), max_new=16, eot=m.tokenizer.eot)
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_prefill_matches_teacher_forced_and_clamps_context():
+    """Batched prompt prefill (one pass) must agree with decode_logits, the
+    first generated token must be argmax of the last prompt position, and a
+    near-context-length prompt must clamp max_new instead of silently
+    reading out-of-range positional embeddings (ADVICE r1)."""
+    import jax.numpy as jnp
+
+    from crispy_tpu.models.whisper import WhisperModel
+    from crispy_tpu.models.whisper.model import decode_logits, encode, greedy_decode
+    from crispy_tpu.dsp.mel import log_mel_spectrogram
+
+    m = WhisperModel.random("test-random", seed=3)
+    rng = np.random.default_rng(1)
+    audio_np = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    mel = log_mel_spectrogram(jnp.asarray(audio_np), n_mels=m.cfg.n_mels,
+                              pad_to_chunk=True)
+    feats = encode(m.params, m.cfg, mel)
+    # a long-ish prompt (simulating initial_prompt conditioning)
+    prompt_np = rng.integers(0, 900, size=(2, 37)).astype(np.int32)
+    prompt = jnp.asarray(prompt_np)
+    tf_logits = decode_logits(m.params, m.cfg, prompt, feats)
+    want_first = np.argmax(np.asarray(tf_logits)[:, -1], axis=-1)
+    toks, _ = greedy_decode(m.params, m.cfg, feats, prompt, max_new=8, eot=999)
+    np.testing.assert_array_equal(np.asarray(toks)[:, 0], want_first)
+
+    # prompt of length n_text_ctx-2: max_new clamps to 2, no crash
+    long_prompt = jnp.asarray(rng.integers(0, 900, size=(1, m.cfg.n_text_ctx - 2)).astype(np.int32))
+    toks2, lens2 = greedy_decode(m.params, m.cfg, feats[:1], long_prompt, max_new=224, eot=999)
+    assert np.asarray(toks2).shape[1] == 2
 
 
 def test_compression_ratio_flags_repetition():
