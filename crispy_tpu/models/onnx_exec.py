@@ -258,20 +258,28 @@ class OnnxRunner:
             if n not in inputs:
                 raise ValueError(f"missing graph input {n!r}")
         vals.update(inputs)
+        import jax
+
         for node in self.graph.nodes:
             handler = _OPS.get(node.op_type)
             if handler is None:
                 raise NotImplementedError(f"ONNX op {node.op_type} (node {node.name!r})")
             args = [vals[i] if i else None for i in node.inputs]
-            out = handler(node, *args)
+            static_in = all(a is None or _is_static(a) for a in args)
+            if static_in:
+                # Evaluate eagerly even mid-trace (omnistaging would otherwise
+                # stage constant shape arithmetic into the compiled graph).
+                with jax.ensure_compile_time_eval():
+                    out = handler(node, *args)
+            else:
+                out = handler(node, *args)
             if not isinstance(out, tuple):
                 out = (out,)
-            static_in = all(a is None or _is_static(a) for a in args)
             for name, o in zip(node.outputs, out):
                 if not name:
                     continue
                 if static_in and o is not None and not _is_static(o):
-                    o = np.asarray(o)  # concrete by construction
+                    o = np.asarray(o)
                 vals[name] = o
         return {n: vals[n] for n in self.output_names}
 

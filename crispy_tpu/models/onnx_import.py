@@ -133,7 +133,8 @@ def _parse_tensor(buf: memoryview) -> Tuple[Optional[str], Optional[np.ndarray]]
     else:
         arr = np.zeros(0, dt)
     try:
-        arr = arr.reshape(dims) if dims else arr
+        # dims == [] means a scalar tensor (0-d), not "unknown shape"
+        arr = arr.reshape(dims)
     except ValueError:
         return name, None
     return name, arr

@@ -1,0 +1,277 @@
+"""ONNX→JAX executor: op semantics vs independent oracles (numpy / torch).
+
+The executor is the guaranteed-correct path for the catalog's ONNX
+artifacts (transcribe-rs engines + diarization nets). Graphs here are
+built with tests/onnx_builder (hand-rolled protobuf writer) and the
+outputs are compared against torch/numpy implementations of the same op.
+"""
+
+import numpy as np
+import pytest
+
+from crispy_tpu.models.onnx_exec import OnnxRunner, load_onnx_graph
+
+import onnx_builder as ob
+
+F32 = 1
+
+
+def build(tmp_path, nodes, inputs, outputs, inits=None, name="m.onnx"):
+    p = tmp_path / name
+    ob.write_model(p, nodes, inputs, outputs, inits)
+    return OnnxRunner.load(p)
+
+
+def test_parse_roundtrip_nodes_attrs(tmp_path):
+    nodes = [ob.node("Gemm", ["x", "w", "b"], ["y"], alpha=1.0, transB=1),
+             ob.node("Relu", ["y"], ["z"])]
+    p = tmp_path / "g.onnx"
+    ob.write_model(p, nodes, [("x", F32, [2, 4])], [("z", F32, [2, 8])],
+                   {"w": np.zeros((8, 4), np.float32), "b": np.zeros(8, np.float32)})
+    g = load_onnx_graph(p)
+    assert [n.op_type for n in g.nodes] == ["Gemm", "Relu"]
+    assert g.nodes[0].attrs["transB"] == 1
+    assert g.nodes[0].attrs["alpha"] == 1.0
+    assert set(g.initializers) == {"w", "b"}
+    assert g.outputs == ["z"]
+
+
+def test_mlp_matches_numpy(tmp_path):
+    rng = np.random.default_rng(0)
+    w1 = rng.standard_normal((8, 4)).astype(np.float32)
+    b1 = rng.standard_normal(8).astype(np.float32)
+    w2 = rng.standard_normal((8, 3)).astype(np.float32)
+    x = rng.standard_normal((5, 4)).astype(np.float32)
+    r = build(tmp_path, [
+        ob.node("Gemm", ["x", "w1", "b1"], ["h"], transB=1),
+        ob.node("Relu", ["h"], ["a"]),
+        ob.node("MatMul", ["a", "w2"], ["y"]),
+        ob.node("Softmax", ["y"], ["p"], axis=-1),
+    ], [("x", F32, [5, 4])], [("p", F32, [5, 3])],
+        {"w1": w1, "b1": b1, "w2": w2})
+    got = np.asarray(r(x=x)["p"])
+    h = np.maximum(x @ w1.T + b1, 0) @ w2
+    want = np.exp(h - h.max(-1, keepdims=True))
+    want /= want.sum(-1, keepdims=True)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_executor_is_jittable(tmp_path):
+    import jax
+
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((4, 4)).astype(np.float32)
+    r = build(tmp_path, [ob.node("MatMul", ["x", "w"], ["y"])],
+              [("x", F32, [2, 4])], [("y", F32, [2, 4])], {"w": w})
+    x = rng.standard_normal((2, 4)).astype(np.float32)
+    jitted = jax.jit(lambda x: r(x=x)["y"])
+    np.testing.assert_allclose(np.asarray(jitted(x)), x @ w, atol=1e-5)
+
+
+def test_shape_chain_partial_eval(tmp_path):
+    """Shape→Gather→Concat→Reshape stays static and jit-compiles."""
+    import jax
+
+    r = build(tmp_path, [
+        ob.node("Shape", ["x"], ["s"]),
+        ob.node("Gather", ["s", "i0"], ["b"], axis=0),
+        ob.node("Unsqueeze", ["b", "ax0"], ["bu"]),
+        ob.node("Concat", ["bu", "m1"], ["tgt"], axis=0),
+        ob.node("Reshape", ["x", "tgt"], ["y"]),
+    ], [("x", F32, [3, 4, 5])], [("y", F32, [3, 20])],
+        {"i0": np.array(0, np.int64), "m1": np.array([-1], np.int64),
+         "ax0": np.array([0], np.int64)})
+    x = np.arange(60, dtype=np.float32).reshape(3, 4, 5)
+    got = jax.jit(lambda x: r(x=x)["y"])(x)
+    np.testing.assert_array_equal(np.asarray(got), x.reshape(3, 20))
+
+
+@pytest.mark.parametrize("stride,pad,group", [(1, 1, 1), (2, 2, 1), (1, 0, 2)])
+def test_conv1d_matches_torch(tmp_path, stride, pad, group):
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 4, 20)).astype(np.float32)
+    w = rng.standard_normal((6, 4 // group, 5)).astype(np.float32)
+    b = rng.standard_normal(6).astype(np.float32)
+    r = build(tmp_path, [ob.node("Conv", ["x", "w", "b"], ["y"],
+                                 strides=[stride], pads=[pad, pad], group=group,
+                                 kernel_shape=[5])],
+              [("x", F32, [2, 4, 20])], [("y", F32, None)], {"w": w, "b": b})
+    got = np.asarray(r(x=x)["y"])
+    want = torch.nn.functional.conv1d(
+        torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+        stride=stride, padding=pad, groups=group).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_conv2d_and_pools_match_torch(tmp_path):
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 3, 12, 12)).astype(np.float32)
+    w = rng.standard_normal((5, 3, 3, 3)).astype(np.float32)
+    r = build(tmp_path, [
+        ob.node("Conv", ["x", "w"], ["c"], strides=[2, 2], pads=[1, 1, 1, 1],
+                kernel_shape=[3, 3]),
+        ob.node("MaxPool", ["c"], ["mp"], kernel_shape=[2, 2], strides=[2, 2]),
+        ob.node("AveragePool", ["c"], ["ap"], kernel_shape=[2, 2], strides=[2, 2]),
+        ob.node("GlobalAveragePool", ["c"], ["gap"]),
+    ], [("x", F32, [1, 3, 12, 12])],
+        [("mp", F32, None), ("ap", F32, None), ("gap", F32, None)], {"w": w})
+    out = r(x=x)
+    tc = torch.nn.functional.conv2d(torch.from_numpy(x), torch.from_numpy(w),
+                                    stride=2, padding=1)
+    np.testing.assert_allclose(np.asarray(out["mp"]),
+                               torch.nn.functional.max_pool2d(tc, 2, 2).numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["ap"]),
+                               torch.nn.functional.avg_pool2d(tc, 2, 2).numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["gap"]),
+                               tc.mean(dim=(2, 3), keepdim=True).numpy(), atol=1e-4)
+
+
+def test_normalizations_match_torch(tmp_path):
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 6, 10)).astype(np.float32)
+    g = rng.standard_normal(6).astype(np.float32)
+    b = rng.standard_normal(6).astype(np.float32)
+    mean = rng.standard_normal(6).astype(np.float32)
+    var = np.abs(rng.standard_normal(6)).astype(np.float32) + 0.5
+    gl = rng.standard_normal(10).astype(np.float32)
+    bl = rng.standard_normal(10).astype(np.float32)
+    r = build(tmp_path, [
+        ob.node("BatchNormalization", ["x", "g", "b", "m", "v"], ["bn"]),
+        ob.node("InstanceNormalization", ["x", "g", "b"], ["inorm"]),
+        ob.node("LayerNormalization", ["x", "gl", "bl"], ["ln"], axis=-1),
+    ], [("x", F32, [2, 6, 10])],
+        [("bn", F32, None), ("inorm", F32, None), ("ln", F32, None)],
+        {"g": g, "b": b, "m": mean, "v": var, "gl": gl, "bl": bl})
+    out = r(x=x)
+    tx = torch.from_numpy(x)
+    np.testing.assert_allclose(
+        np.asarray(out["bn"]),
+        torch.nn.functional.batch_norm(tx, torch.from_numpy(mean), torch.from_numpy(var),
+                                       torch.from_numpy(g), torch.from_numpy(b)).numpy(),
+        atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["inorm"]),
+        torch.nn.functional.instance_norm(tx, weight=torch.from_numpy(g),
+                                          bias=torch.from_numpy(b)).numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["ln"]),
+        torch.nn.functional.layer_norm(tx, (10,), torch.from_numpy(gl),
+                                       torch.from_numpy(bl)).numpy(), atol=1e-4)
+
+
+def _torch_lstm_to_onnx_weights(lstm, H):
+    """torch gate order i,f,g,o → ONNX i,o,f,c; returns (W, R, B) per ONNX."""
+    def reorder(m):
+        i, f, g, o = np.split(m, 4, axis=0)
+        return np.concatenate([i, o, f, g], axis=0)
+
+    Ws, Rs, Bs = [], [], []
+    for sfx in ([""] if not lstm.bidirectional else ["", "_reverse"]):
+        wi = reorder(getattr(lstm, f"weight_ih_l0{sfx}").detach().numpy())
+        wh = reorder(getattr(lstm, f"weight_hh_l0{sfx}").detach().numpy())
+        bi = reorder(getattr(lstm, f"bias_ih_l0{sfx}").detach().numpy())
+        bh = reorder(getattr(lstm, f"bias_hh_l0{sfx}").detach().numpy())
+        Ws.append(wi)
+        Rs.append(wh)
+        Bs.append(np.concatenate([bi, bh]))
+    return (np.stack(Ws).astype(np.float32), np.stack(Rs).astype(np.float32),
+            np.stack(Bs).astype(np.float32))
+
+
+@pytest.mark.parametrize("bidir", [False, True])
+def test_lstm_matches_torch(tmp_path, bidir):
+    torch = pytest.importorskip("torch")
+    T, B, I, H = 7, 2, 5, 4
+    lstm = torch.nn.LSTM(I, H, bidirectional=bidir)
+    W, R, Bias = _torch_lstm_to_onnx_weights(lstm, H)
+    r = build(tmp_path, [ob.node(
+        "LSTM", ["x", "W", "R", "B"], ["Y", "Yh", "Yc"], hidden_size=H,
+        direction="bidirectional" if bidir else "forward")],
+        [("x", F32, [T, B, I])], [("Y", F32, None), ("Yh", F32, None), ("Yc", F32, None)],
+        {"W": W, "R": R, "B": Bias})
+    x = np.random.default_rng(5).standard_normal((T, B, I)).astype(np.float32)
+    out = r(x=x)
+    ty, (th, tc) = lstm(torch.from_numpy(x))
+    D = 2 if bidir else 1
+    want_y = ty.detach().numpy().reshape(T, B, D, H).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out["Y"]), want_y, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["Yh"]), th.detach().numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["Yc"]), tc.detach().numpy(), atol=1e-5)
+
+
+def test_gru_matches_torch(tmp_path):
+    torch = pytest.importorskip("torch")
+    T, B, I, H = 6, 3, 4, 5
+    gru = torch.nn.GRU(I, H)
+
+    def reorder(m):  # torch r,z,n → ONNX z,r,h
+        r_, z, n = np.split(m, 3, axis=0)
+        return np.concatenate([z, r_, n], axis=0)
+
+    W = reorder(gru.weight_ih_l0.detach().numpy())[None].astype(np.float32)
+    R = reorder(gru.weight_hh_l0.detach().numpy())[None].astype(np.float32)
+    Bias = np.concatenate([reorder(gru.bias_ih_l0.detach().numpy()),
+                           reorder(gru.bias_hh_l0.detach().numpy())])[None].astype(np.float32)
+    r = build(tmp_path, [ob.node("GRU", ["x", "W", "R", "B"], ["Y", "Yh"],
+                                 hidden_size=H, linear_before_reset=1)],
+              [("x", F32, [T, B, I])], [("Y", F32, None), ("Yh", F32, None)],
+              {"W": W, "R": R, "B": Bias})
+    x = np.random.default_rng(6).standard_normal((T, B, I)).astype(np.float32)
+    out = r(x=x)
+    ty, th = gru(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(out["Y"])[:, 0], ty.detach().numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["Yh"]), th.detach().numpy(), atol=1e-5)
+
+
+def test_dynamic_quant_matmul_chain(tmp_path):
+    """The ort quantize_dynamic pattern: DynamicQuantizeLinear → MatMulInteger
+    → Cast → Mul(scales). Must approximate the float matmul."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((3, 16)).astype(np.float32)
+    w = rng.standard_normal((16, 8)).astype(np.float32)
+    w_scale = np.float32(np.abs(w).max() / 127.0)
+    w_q = np.clip(np.round(w / w_scale), -127, 127).astype(np.int8)
+    r = build(tmp_path, [
+        ob.node("DynamicQuantizeLinear", ["x"], ["xq", "xs", "xzp"]),
+        ob.node("MatMulInteger", ["xq", "wq", "xzp", "wzp"], ["yi"]),
+        ob.node("Cast", ["yi"], ["yf"], to=1),
+        ob.node("Mul", ["xs", "ws"], ["sc"]),
+        ob.node("Mul", ["yf", "sc"], ["y"]),
+    ], [("x", F32, [3, 16])], [("y", F32, None)],
+        {"wq": w_q, "ws": w_scale, "wzp": np.int8(0)})
+    got = np.asarray(r(x=x)["y"])
+    want = x @ (w_q.astype(np.float32) * w_scale)
+    # error budget: activation quantization only (weights already quantized)
+    np.testing.assert_allclose(got, want, atol=np.abs(x).max() / 255 * 16 * 4)
+
+
+def test_slice_pad_where_reduce(tmp_path):
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((4, 10)).astype(np.float32)
+    r = build(tmp_path, [
+        ob.node("Slice", ["x", "st", "en", "ax", "sp"], ["sl"]),
+        ob.node("Pad", ["sl", "pads"], ["pd"]),
+        ob.node("ReduceMean", ["pd", "rax"], ["rm"], keepdims=0),
+        ob.node("Greater", ["rm", "zero"], ["gt"]),
+        ob.node("Where", ["gt", "rm", "zero"], ["y"]),
+    ], [("x", F32, [4, 10])], [("y", F32, None)],
+        {"st": np.array([2], np.int64), "en": np.array([9], np.int64),
+         "ax": np.array([1], np.int64), "sp": np.array([2], np.int64),
+         "pads": np.array([0, 1, 0, 1], np.int64),
+         "rax": np.array([1], np.int64), "zero": np.float32(0.0)})
+    got = np.asarray(r(x=x)["y"])
+    sl = x[:, 2:9:2]
+    pd = np.pad(sl, [(0, 0), (1, 1)])
+    rm = pd.mean(axis=1)
+    want = np.where(rm > 0, rm, 0.0)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_unsupported_op_raises_clearly(tmp_path):
+    r = build(tmp_path, [ob.node("SomeCustomOp", ["x"], ["y"])],
+              [("x", F32, [1])], [("y", F32, [1])])
+    with pytest.raises(NotImplementedError, match="SomeCustomOp"):
+        r(x=np.zeros(1, np.float32))
