@@ -451,30 +451,50 @@ def run_diarization(
     model_manager=None,
     max_speakers: int = 4,
     merge_gap: float = 1.0,
+    bus=None,
 ) -> str:
     """Transcription hand-off: diarize + interleave with word segments.
 
-    Uses the downloaded segmentation/embedding weights when the registry has
-    them (pyannote segmentation-3.0 + WeSpeaker CAM++, the reference's pair,
-    diarization.rs:40-75); degrades per-net to the built-in fallbacks on any
-    unexpected graph layout.
+    Network selection per net, best first:
+      1. the downloaded .onnx run directly via the ONNX→JAX executor
+         (pyannote segmentation-3.0 + WeSpeaker CAM++, the reference's
+         pair — diarization.rs:40-75,133-134);
+      2. the shape-mapped native JAX port (models/segmentation, campplus);
+      3. the built-in stand-in (energy VAD / log-mel stats) — never chosen
+         silently: a 'diarization-fallback' event is emitted with the error.
     """
+    def warn(net: str, err: Exception):
+        if bus is not None:
+            bus.emit("diarization-fallback", {"net": net, "error": str(err)})
+
     seg_fn = energy_vad_logits
     if model_manager is not None and model_manager.is_downloaded("diarize-segmentation"):
+        seg_path = model_manager.model_path("diarize-segmentation")
         try:
-            from ..models.segmentation import from_onnx
+            from ..models.onnx_nets import segmentation_runner
 
-            seg_fn = from_onnx(model_manager.model_path("diarize-segmentation"))
-        except Exception:
-            pass  # unexpected graph layout: degrade to the energy VAD
+            seg_fn = segmentation_runner(seg_path)
+        except Exception as e1:
+            try:
+                from ..models.segmentation import from_onnx
+
+                seg_fn = from_onnx(seg_path)
+            except Exception:
+                warn("segmentation", e1)
     emb_fn = melstats_embedding
     if model_manager is not None and model_manager.is_downloaded("diarize-embedding"):
+        emb_path = model_manager.model_path("diarize-embedding")
         try:
-            from ..models.campplus import from_onnx as campplus_from_onnx
+            from ..models.onnx_nets import embedding_runner
 
-            emb_fn = campplus_from_onnx(model_manager.model_path("diarize-embedding"))
-        except Exception:
-            pass  # unexpected graph layout: degrade to log-mel stats
+            emb_fn = embedding_runner(emb_path)
+        except Exception as e1:
+            try:
+                from ..models.campplus import from_onnx as campplus_from_onnx
+
+                emb_fn = campplus_from_onnx(emb_path)
+            except Exception:
+                warn("embedding", e1)
     segs = diarize(audio_16k, sample_rate, max_speakers, merge_gap,
                    segmentation_fn=seg_fn, embedding_fn=emb_fn)
     return format_diarized_text(text_segments, segs)

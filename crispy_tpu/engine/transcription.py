@@ -151,6 +151,15 @@ class EngineProtocol:
         dur = len(chunk_16k) / TARGET_SAMPLE_RATE
         return [(offset_seconds, offset_seconds + dur, text)] if text.strip() else []
 
+    def transcribe_batch_with_timestamps(
+        self, chunks_16k: np.ndarray, offsets_seconds: List[float]
+    ) -> List[List[Tuple[float, float, str]]]:
+        """Batched timestamped decode; default delegates per chunk. Engines
+        with a batched decoder override (whisper decodes all B rows in one
+        compiled call so diarization-enabled jobs keep the batch advantage)."""
+        return [self.transcribe_with_timestamps(chunks_16k[j], offsets_seconds[j])
+                for j in range(len(chunks_16k))]
+
 
 def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
     """EngineType dispatch (managers/transcription.rs:119-172).
@@ -184,6 +193,9 @@ def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
 
             def transcribe_with_timestamps(self, chunk_16k, offset_seconds):
                 return wm.transcribe_chunk_with_timestamps(chunk_16k, offset_seconds)
+
+            def transcribe_batch_with_timestamps(self, chunks, offsets):
+                return wm.transcribe_chunks_with_timestamps(chunks, offsets)
 
         return _WhisperEngine()
     if info.engine_type == "moonshine":
@@ -554,10 +566,15 @@ def run_transcription(
 
             batch = chunks[b0: b0 + batch_chunks]
             if diarization and diarization.get("enabled"):
-                # timestamped segments for speaker alignment (:272-280)
-                for j in range(batch.shape[0]):
-                    cs = (b0 + j) * TRANSCRIBE_CHUNK_SECONDS
-                    for s, e, text in tm.engine.transcribe_with_timestamps(batch[j], cs):
+                # timestamped segments for speaker alignment (:272-280),
+                # decoded for the whole batch in one compiled call
+                offsets = [(b0 + j) * TRANSCRIBE_CHUNK_SECONDS
+                           for j in range(batch.shape[0])]
+                with _stage("transcribe-batch-timestamps", tm.bus,
+                            {"chunks": int(batch.shape[0])}):
+                    seg_lists = tm.engine.transcribe_batch_with_timestamps(batch, offsets)
+                for segs in seg_lists:
+                    for s, e, text in segs:
                         if text.strip():
                             parts.append((s, min(e, total_seconds), text))
                 texts = [""] * batch.shape[0]
@@ -605,10 +622,15 @@ def run_transcription(
                     model_manager=tm.model_manager,
                     max_speakers=int(diarization.get("max_speakers", 4)),
                     merge_gap=float(diarization.get("merge_gap", 1.0)),
+                    bus=bus,
                 )
-            except Exception:
-                pass  # diarization failure falls back to the plain transcript
-                      # (commands/transcription.rs:456-465)
+            except Exception as dz_err:
+                # diarization failure falls back to the plain transcript
+                # (commands/transcription.rs:456-465 — which logs the error;
+                # here it is surfaced as an event, never swallowed silently)
+                bus.emit("diarization-fallback",
+                         {"recording_path": recording_path, "net": "pipeline",
+                          "error": str(dz_err)})
 
         save_transcription_result(recording_path, text)
         save_transcription_metadata(recording_path, model_id)

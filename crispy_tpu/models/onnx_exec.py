@@ -251,6 +251,14 @@ class OnnxRunner:
     def input_info(self) -> List[Tuple[str, Optional[int], List[Optional[int]]]]:
         return [i for i in self.graph.inputs if i[0] not in self.graph.initializers]
 
+    def validate(self) -> "OnnxRunner":
+        """Raise NotImplementedError up front if any node op is unsupported
+        (lets callers fall back at load time, not mid-inference)."""
+        missing = sorted({n.op_type for n in self.graph.nodes if n.op_type not in _OPS})
+        if missing:
+            raise NotImplementedError(f"unsupported ONNX ops: {', '.join(missing)}")
+        return self
+
     def __call__(self, **inputs) -> Dict[str, Any]:
         vals: Dict[str, Any] = dict(self.graph.initializers)
         vals[""] = None  # optional (absent) input slot

@@ -158,30 +158,50 @@ class WhisperModel:
                 break
         return [r if r is not None else "" for r in results]
 
-    def transcribe_chunk_with_timestamps(
-        self, audio_16k: np.ndarray, offset_seconds: float = 0.0,
+    def transcribe_chunks_with_timestamps(
+        self, audio_16k: np.ndarray, offsets_seconds: Optional[List[float]] = None,
         language: str = "en", max_new: int = 224,
         initial_prompt: Optional[str] = None,
-    ) -> List[Tuple[float, float, str]]:
-        """One ≤30 s chunk → [(start, end, text)] segments from Whisper's
-        timestamp tokens (the reference gets word segments from its engines,
-        managers/transcription.rs:196-249; segment midpoints drive speaker
-        alignment either way)."""
+    ) -> List[List[Tuple[float, float, str]]]:
+        """[B, T] chunks → per-chunk [(start, end, text)] segments from
+        Whisper's timestamp tokens, decoded in ONE batched greedy call (the
+        reference gets word segments from its engines one chunk at a time —
+        managers/transcription.rs:196-249; batching keeps the TPU advantage
+        on diarization-enabled jobs)."""
         import jax.numpy as jnp
 
         from ...dsp.mel import log_mel_spectrogram
 
         a = np.atleast_2d(np.asarray(audio_16k, dtype=np.float32))
+        B = a.shape[0]
+        if offsets_seconds is None:
+            offsets_seconds = [0.0] * B
         dur = a.shape[1] / 16000.0
         mel = log_mel_spectrogram(jnp.asarray(a), n_mels=self.cfg.n_mels, pad_to_chunk=True)
         tok = self.tokenizer
         sot = self._prompt_ids(language, initial_prompt, timestamps=True)
-        prompt = jnp.asarray(np.array(sot, np.int32)[None, :])
+        prompt = jnp.asarray(np.tile(np.array(sot, np.int32), (B, 1)))
         tokens, lengths = greedy_decode(
             self.params, self.cfg, mel, prompt, max_new=max_new, eot=tok.eot
         )
-        ids = np.asarray(tokens)[0, : int(np.asarray(lengths)[0])].tolist()
-        return parse_timestamp_segments(ids, tok, offset_seconds, dur)
+        tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+        return [
+            parse_timestamp_segments(
+                tokens[b, : int(lengths[b])].tolist(), tok,
+                float(offsets_seconds[b]), dur)
+            for b in range(B)
+        ]
+
+    def transcribe_chunk_with_timestamps(
+        self, audio_16k: np.ndarray, offset_seconds: float = 0.0,
+        language: str = "en", max_new: int = 224,
+        initial_prompt: Optional[str] = None,
+    ) -> List[Tuple[float, float, str]]:
+        """Single-chunk convenience wrapper over the batched path."""
+        return self.transcribe_chunks_with_timestamps(
+            np.atleast_2d(np.asarray(audio_16k, dtype=np.float32)),
+            [offset_seconds], language=language, max_new=max_new,
+            initial_prompt=initial_prompt)[0]
 
 
 def compression_ratio(text: str) -> float:
