@@ -1,0 +1,680 @@
+"""ASR engines that run the catalog's ONNX bundles directly via the
+ONNX→JAX executor.
+
+The reference loads these exact artifacts through transcribe-rs 0.3 / ONNX
+Runtime (managers/transcription.rs:119-172: ParakeetModel, GigaAMModel,
+SenseVoiceModel, CanaryModel, CohereModel, MoonshineModel — int8 variants
+picked when the filename contains "int8"). Here the same .onnx graphs are
+jitted JAX, inputs/outputs wired by introspection (names vary across
+exporters), and the decode loops (CTC collapse, TDT greedy, AR greedy)
+batch the whole 30 s chunk dimension.
+
+These are the guaranteed-correct loaders for real downloads; the native
+JAX ports in models/ (parakeet, canary, sensevoice, moonshine) remain the
+fast path when a prepared params.npz bundle exists.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..models.onnx_exec import OnnxRunner
+
+_FLOAT_TYPES = {1, 10, 11}
+_INT_TYPES = {2, 3, 4, 5, 6, 7}
+_SPECIAL_RE = re.compile(r"^<\|.*\|>$|^<[a-z_/]+>$|^\[.*\]$")
+
+
+# ---------------------------------------------------------------------------
+# Bundle introspection helpers
+# ---------------------------------------------------------------------------
+
+def find_onnx(path, *keywords: str, exclude: Sequence[str] = ()) -> Optional[Path]:
+    """Find an .onnx file whose name matches any keyword (or any .onnx when
+    no keywords), preferring int8 variants like the reference
+    (managers/transcription.rs:129-133)."""
+    path = Path(path)
+    if path.is_file() and path.suffix == ".onnx":
+        return path
+    cands = sorted(p for p in path.rglob("*.onnx") if ".extracting" not in str(p))
+    if keywords:
+        cands = [p for p in cands if any(k in p.name.lower() for k in keywords)]
+    cands = [p for p in cands if not any(x in p.name.lower() for x in exclude)]
+    if not cands:
+        return None
+    int8 = [p for p in cands if "int8" in p.name.lower()]
+    return (int8 or cands)[0]
+
+
+def load_vocab_file(path) -> Optional[List[str]]:
+    """vocab.txt / tokens.txt: 'token' or 'token id' per line."""
+    path = Path(path)
+    for name in ("vocab.txt", "tokens.txt", "v2_vocab.txt", "v3_vocab.txt",
+                 "labels.txt"):
+        for p in [path / name, *sorted(path.rglob(name))]:
+            if p.exists():
+                toks: List[str] = []
+                for line in p.read_text(encoding="utf-8").splitlines():
+                    if not line.strip("\n"):
+                        continue
+                    parts = line.rsplit(" ", 1)
+                    if len(parts) == 2 and parts[1].lstrip("-").isdigit():
+                        idx = int(parts[1])
+                        while len(toks) <= idx:
+                            toks.append("")
+                        toks[idx] = parts[0]
+                    else:
+                        toks.append(line.rstrip("\n"))
+                return toks
+    return None
+
+
+def load_tokenizer(path):
+    """Best tokenizer available in the bundle: SPM .model, vocab file, or
+    tokenizers.json. Returns (decode_ids: Callable[[List[int]], str], vocab
+    size or None)."""
+    path = Path(path)
+    spm = next(iter(sorted(path.rglob("*.model"))), None)
+    if spm is not None:
+        try:
+            from ..models.spm import SentencePieceVocab
+
+            v = SentencePieceVocab.load(spm)
+            return (lambda ids: v.decode(ids)), len(v.pieces)
+        except Exception:
+            pass
+    toks = load_vocab_file(path)
+    if toks is not None:
+        return (lambda ids: decode_pieces([toks[i] for i in ids
+                                           if 0 <= i < len(toks)])), len(toks)
+    tj = next(iter(sorted(path.rglob("tokenizer.json"))), None)
+    if tj is not None:
+        from tokenizers import Tokenizer
+
+        t = Tokenizer.from_file(str(tj))
+        return (lambda ids: t.decode(list(map(int, ids)))), t.get_vocab_size()
+    raise FileNotFoundError(f"no tokenizer/vocab found in {path}")
+
+
+def decode_pieces(pieces: List[str]) -> str:
+    """SPM-style piece join: ▁ marks a space; specials are dropped."""
+    out = []
+    for p in pieces:
+        if not p or _SPECIAL_RE.match(p):
+            continue
+        out.append(p.replace("▁", " "))
+    text = "".join(out)
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def _classify(runner: OnnxRunner) -> Dict[str, list]:
+    """Split runtime inputs into float tensors, int tensors, state-like."""
+    floats, ints, states, bools = [], [], [], []
+    for name, et, shape in runner.input_info():
+        low = name.lower()
+        if et == 9:
+            bools.append((name, shape))
+        elif ("past" in low
+              or ("cache" in low and "use_cache" not in low)
+              or ("state" in low and "encoder" not in low and "hidden" not in low)):
+            states.append((name, et, shape))
+        elif et in _INT_TYPES or et is None and ("len" in low or "target" in low):
+            ints.append((name, et, shape))
+        else:
+            floats.append((name, et, shape))
+    return {"float": floats, "int": ints, "state": states, "bool": bools}
+
+
+def _np_dtype(et: Optional[int]):
+    from ..models.onnx_import import _DTYPES
+
+    return _DTYPES.get(et or 1, np.dtype(np.float32))
+
+
+def _pick_frontend(shape: List[Optional[int]]):
+    """Choose the feature frontend + layout from the feats input signature.
+
+    Known contracts: NeMo [B, 80, T]; GigaAM [B, 64, T]; SenseVoice LFR
+    [B, T, 560]; raw waveform [B, T] / [B, 1, T].
+    """
+    import jax.numpy as jnp
+
+    from ..dsp import asr_frontend as fe
+
+    dims = list(shape or [])
+    if len(dims) <= 2 or (len(dims) == 3 and dims[1] == 1):
+        # raw waveform input
+        if len(dims) == 3:
+            return lambda a: jnp.asarray(a)[:, None, :], "waveform"
+        return lambda a: jnp.asarray(a), "waveform"
+    static = [d for d in dims[1:] if d]
+    if 560 in static:
+        def sv(a):
+            from ..dsp.fbank import fbank
+
+            f = fbank(jnp.asarray(a), 80)  # [B, T, 80] kaldi fbank
+            return fe.lfr(f)
+
+        return sv, "lfr560"
+    if 64 in static:
+        if dims[1] == 64:
+            return lambda a: fe.gigaam_log_mel(jnp.asarray(a), 64), "mel64_ct"
+        return lambda a: fe.gigaam_log_mel(jnp.asarray(a), 64).swapaxes(1, 2), "mel64_tc"
+    n_mels = static[0] if static else 80
+    if dims[1] == n_mels:
+        return lambda a: fe.nemo_log_mel(jnp.asarray(a), n_mels), "nemo_ct"
+    return lambda a: fe.nemo_log_mel(jnp.asarray(a), n_mels).swapaxes(1, 2), "nemo_tc"
+
+
+def _frame_count(kind: str, n_samples: int) -> int:
+    if kind == "waveform":
+        return n_samples
+    if kind.startswith("lfr"):
+        # kaldi fbank (snip_edges): (T - 400)//160 + 1 frames, then LFR /6
+        return -(-(((n_samples - 400) // 160) + 1) // 6)
+    return n_samples // 160 + 1
+
+
+# ---------------------------------------------------------------------------
+# CTC engine (GigaAM, SenseVoice)
+# ---------------------------------------------------------------------------
+
+class OnnxCtcEngine:
+    """Single-graph CTC: features → log-probs [B, T', V] → greedy collapse."""
+
+    name = "onnx-ctc"
+
+    def __init__(self, model_dir, model_id: str = "onnx-ctc",
+                 blank_id: Optional[int] = None, language_id: int = 0,
+                 textnorm_id: int = 15):
+        import jax
+
+        self.name = model_id
+        model_dir = Path(model_dir)
+        p = find_onnx(model_dir, exclude=("decoder", "joint", "preprocess"))
+        if p is None:
+            raise FileNotFoundError(f"no .onnx in {model_dir}")
+        self.runner = OnnxRunner.load(p).validate()
+        self.decode_ids, self.vocab_size = load_tokenizer(model_dir)
+        cls = _classify(self.runner)
+        if not cls["float"]:
+            raise ValueError("CTC graph has no float feature input")
+        self.feats_name, _, feats_shape = cls["float"][0]
+        self.frontend, self.kind = _pick_frontend(feats_shape)
+        self.int_inputs = cls["int"]
+        self.blank_id = blank_id
+        self.language_id = language_id
+        self.textnorm_id = textnorm_id
+
+        runner = self.runner
+
+        @jax.jit
+        def run(feats, extra):
+            inputs = {self.feats_name: feats}
+            inputs.update(extra)
+            out = runner(**inputs)
+            logits = None
+            for name in runner.output_names:
+                v = out[name]
+                if getattr(v, "ndim", 0) == 3:
+                    logits = v
+                    break
+            if logits is None:
+                raise ValueError("no rank-3 logits output")
+            return logits
+
+        self._run = run
+
+    def _extra_inputs(self, B: int, n_frames: int) -> Dict[str, np.ndarray]:
+        extra = {}
+        for name, et, shape in self.int_inputs:
+            low = name.lower()
+            dt = _np_dtype(et)
+            if "len" in low:
+                v = np.full(B, n_frames, dt)
+            elif "language" in low:
+                v = np.full(B, self.language_id, dt)
+            elif "textnorm" in low or "norm" in low:
+                v = np.full(B, self.textnorm_id, dt)
+            else:
+                v = np.zeros(B, dt)
+            if shape and len(shape) == 2:
+                v = v[:, None]
+            extra[name] = v
+        return extra
+
+    def transcribe_batch(self, chunks_16k: np.ndarray, language: str = "en") -> List[str]:
+        a = np.atleast_2d(np.asarray(chunks_16k, np.float32))
+        B = a.shape[0]
+        feats = self.frontend(a)
+        n_frames = _frame_count(self.kind, a.shape[1])
+        logits = np.asarray(self._run(feats, self._extra_inputs(B, n_frames)))
+        # orient to [B, T, V]: the vocab axis is the one sized like the vocab
+        if self.vocab_size:
+            d1 = abs(logits.shape[1] - self.vocab_size)
+            d2 = abs(logits.shape[2] - self.vocab_size)
+            if d1 < d2:
+                logits = logits.swapaxes(1, 2)
+        elif logits.shape[1] < logits.shape[2]:
+            logits = logits.swapaxes(1, 2)
+        V = logits.shape[-1]
+        blank = self.blank_id
+        if blank is None:
+            # NeMo CTC puts blank last; FunASR puts it at 0. Pick by vocab size.
+            blank = V - 1 if self.vocab_size and self.vocab_size < V else 0
+        ids = logits.argmax(axis=-1)  # [B, T]
+        out = []
+        for b in range(B):
+            seq, prev = [], -1
+            for t in ids[b]:
+                t = int(t)
+                if t != prev and t != blank:
+                    seq.append(t)
+                prev = t
+            out.append(self.decode_ids(seq))
+        return out
+
+    def transcribe_with_timestamps(self, chunk_16k, offset_seconds):
+        text = self.transcribe_batch(chunk_16k[None, :])[0]
+        dur = len(chunk_16k) / 16000.0
+        return [(offset_seconds, offset_seconds + dur, text)] if text.strip() else []
+
+    def transcribe_batch_with_timestamps(self, chunks, offsets):
+        return [self.transcribe_with_timestamps(chunks[j], offsets[j])
+                for j in range(len(chunks))]
+
+
+def engine_from_onnx_dir(model_id: str, path, **kwargs):
+    """Dispatch an ONNX bundle to the right engine by its file inventory:
+    a *joint* decoder → transducer/TDT; encoder+decoder pair → AR enc-dec;
+    a single graph → CTC. This is how unknown-architecture bundles (cohere,
+    transcribe-rs's external crate) are pinned at load time."""
+    path = Path(path)
+    joint = find_onnx(path, "joint")
+    if joint is not None:
+        return OnnxTdtEngine(path, model_id)
+    enc = find_onnx(path, "encoder", "encode")
+    dec = (find_onnx(path, "uncached") or find_onnx(path, "merged")
+           or find_onnx(path, "decoder", "decode", exclude=("cached",)))
+    if enc is not None and dec is not None and enc != dec:
+        return OnnxEncDecEngine(path, model_id, **kwargs)
+    if find_onnx(path) is not None:
+        return OnnxCtcEngine(path, model_id, **kwargs)
+    raise FileNotFoundError(f"no .onnx files in {path}")
+
+
+# ---------------------------------------------------------------------------
+# Transducer/TDT engine (Parakeet)
+# ---------------------------------------------------------------------------
+
+class OnnxTdtEngine:
+    """encoder-model.onnx + decoder_joint-model.onnx greedy TDT/RNN-T.
+
+    The NeMo export contract (istupakov/onnx-asr layout, which transcribe-rs
+    consumes): encoder(audio_signal [B, 80, T], length) → (outputs
+    [B, D, T'], encoded_lengths); decoder_joint(encoder_outputs frame,
+    targets [B, 1], target_length, input_states_1/2) → (joint logits
+    [B, 1, 1, V+1+n_dur], ..., output_states_1/2). Joint logits beyond
+    V+1 are TDT duration heads (durations 0..n_dur-1).
+    """
+
+    name = "onnx-tdt"
+    MAX_SYMBOLS_PER_FRAME = 10
+
+    def __init__(self, model_dir, model_id: str = "onnx-tdt"):
+        import jax
+
+        self.name = model_id
+        model_dir = Path(model_dir)
+        enc_p = find_onnx(model_dir, "encoder")
+        dec_p = find_onnx(model_dir, "decoder", "joint")
+        if enc_p is None or dec_p is None:
+            raise FileNotFoundError(
+                f"need encoder+decoder_joint .onnx in {model_dir}")
+        self.enc = OnnxRunner.load(enc_p).validate()
+        self.dec = OnnxRunner.load(dec_p).validate()
+        self.decode_ids, self.vocab_size = load_tokenizer(model_dir)
+
+        ecls = _classify(self.enc)
+        self.enc_feats_name, _, efs = ecls["float"][0]
+        self.frontend, self.kind = _pick_frontend(efs)
+        self.enc_ints = ecls["int"]
+
+        dcls = _classify(self.dec)
+        self.dec_enc_name, _, self.dec_enc_shape = dcls["float"][0]
+        self.dec_ints = dcls["int"]
+        self.dec_states = dcls["state"]
+
+        enc_runner, dec_runner = self.enc, self.dec
+
+        @jax.jit
+        def encode(feats, extra):
+            inputs = {self.enc_feats_name: feats}
+            inputs.update(extra)
+            out = enc_runner(**inputs)
+            enc = None
+            for name in enc_runner.output_names:
+                v = out[name]
+                if getattr(v, "ndim", 0) == 3:
+                    enc = v
+                    break
+            return enc
+
+        @jax.jit
+        def joint(frame, targets, states, extra):
+            # frame [B, D] → the graph's expected frame layout
+            x = frame[:, :, None]  # [B, D, 1]
+            d0 = self.dec_enc_shape
+            if d0 and len(d0) == 3 and (d0[1] == 1):
+                x = frame[:, None, :]  # [B, 1, D]
+            inputs = {self.dec_enc_name: x}
+            for (name, _, _), s in zip(self.dec_states, states):
+                inputs[name] = s
+            for name, et, shape in self.dec_ints:
+                low = name.lower()
+                dt = _np_dtype(et)
+                if "target_len" in low or ("len" in low and "target" in low):
+                    v = np.ones(targets.shape[0], dt)
+                elif "target" in low or "label" in low or "id" in low:
+                    v = targets.astype(dt)
+                    if not (shape and len(shape) == 2):
+                        v = v[:, 0]
+                else:
+                    v = np.ones(targets.shape[0], dt)
+                inputs[name] = v
+            out = dec_runner(**inputs)
+            logits = None
+            new_states = []
+            state_shapes = {tuple(s.shape) for s in states}
+            for name in dec_runner.output_names:
+                v = out[name]
+                low = name.lower()
+                if "state" in low or "cache" in low:
+                    new_states.append(v)
+                elif getattr(v, "ndim", 0) >= 2 and logits is None:
+                    logits = v.reshape(v.shape[0], -1)
+            return logits, new_states
+
+        self._encode = encode
+        self._joint = joint
+
+    def _init_states(self, B: int):
+        states = []
+        for name, et, shape in self.dec_states:
+            dims = [d if d else (B if i == 1 else 1) for i, d in enumerate(shape or [1, B, 640])]
+            # convention [num_layers, B, H]: the dynamic dim is batch
+            states.append(np.zeros(dims, _np_dtype(et)))
+        return states
+
+    def transcribe_batch(self, chunks_16k: np.ndarray, language: str = "en") -> List[str]:
+        a = np.atleast_2d(np.asarray(chunks_16k, np.float32))
+        B = a.shape[0]
+        feats = self.frontend(a)
+        n_frames = _frame_count(self.kind, a.shape[1])
+        extra = {}
+        for name, et, shape in self.enc_ints:
+            extra[name] = np.full(B, n_frames, _np_dtype(et))
+        enc = np.asarray(self._encode(feats, extra))
+        if enc.shape[1] < enc.shape[2]:  # [B, D, T'] → [B, T', D]
+            enc = enc.swapaxes(1, 2)
+        Bq, Tq, D = enc.shape
+        V = self.vocab_size or 1024
+        blank = V  # NeMo: blank = vocab_size (last of V+1 token logits)
+
+        tokens: List[List[int]] = [[] for _ in range(B)]
+        t = np.zeros(B, np.int64)
+        last = np.full((B, 1), blank, np.int64)
+        states = self._init_states(B)
+        syms = np.zeros(B, np.int64)
+        n_dur = None
+        durations = None
+        while True:
+            active = t < Tq
+            if not active.any():
+                break
+            frames = enc[np.arange(B), np.clip(t, 0, Tq - 1)]  # [B, D]
+            logits, new_states = self._joint(frames, last, states, {})
+            logits = np.asarray(logits)
+            if n_dur is None:
+                n_dur = max(logits.shape[1] - (V + 1), 0)
+                durations = np.arange(max(n_dur, 1))
+            tok = logits[:, : V + 1].argmax(axis=-1)
+            if n_dur > 0:
+                dur = durations[logits[:, V + 1:].argmax(axis=-1)]
+            else:
+                dur = np.zeros(B, np.int64)
+            emit = (tok != blank) & active
+            for b in np.nonzero(emit)[0]:
+                tokens[b].append(int(tok[b]))
+            # state/token update only where a symbol was emitted
+            states = [np.where(self._state_mask(emit, s.shape), np.asarray(ns), s)
+                      for s, ns in zip(states, new_states)]
+            last = np.where(emit[:, None], tok[:, None], last)
+            syms = np.where(emit, syms + 1, syms)
+            if n_dur > 0:
+                adv = np.where(active, dur, 0)
+                adv = np.where((tok == blank) & (dur == 0), 1, adv)  # no stall
+            else:
+                adv = np.where(emit, 0, 1)  # RNN-T: advance on blank only
+            adv = np.where(syms >= self.MAX_SYMBOLS_PER_FRAME, np.maximum(adv, 1), adv)
+            syms = np.where(adv > 0, 0, syms)
+            t = t + np.where(active, adv, 0)
+        return [self.decode_ids(seq) for seq in tokens]
+
+    @staticmethod
+    def _state_mask(emit: np.ndarray, shape) -> np.ndarray:
+        """Broadcast the per-row emit mask onto a state of given shape
+        (batch axis = the axis whose length is B)."""
+        B = emit.shape[0]
+        mask_shape = [1] * len(shape)
+        for i, d in enumerate(shape):
+            if d == B:
+                mask_shape[i] = B
+                break
+        return emit.reshape(mask_shape)
+
+    def transcribe_with_timestamps(self, chunk_16k, offset_seconds):
+        text = self.transcribe_batch(chunk_16k[None, :])[0]
+        dur = len(chunk_16k) / 16000.0
+        return [(offset_seconds, offset_seconds + dur, text)] if text.strip() else []
+
+    def transcribe_batch_with_timestamps(self, chunks, offsets):
+        return [self.transcribe_with_timestamps(chunks[j], offsets[j])
+                for j in range(len(chunks))]
+
+
+# ---------------------------------------------------------------------------
+# Encoder-decoder engine (Canary, Cohere, Moonshine-ONNX)
+# ---------------------------------------------------------------------------
+
+class OnnxEncDecEngine:
+    """encoder .onnx + AR decoder .onnx, greedy decode.
+
+    The decoder is driven full-prefix at a fixed padded length (causal
+    decoders ignore positions after the read index, so one compilation
+    serves every step — no per-step recompiles). KV-cache graph variants
+    (HF optimum merged exports) run through their uncached branch via the
+    executor's static If support, with zero-length past tensors.
+    """
+
+    name = "onnx-encdec"
+
+    def __init__(self, model_dir, model_id: str = "onnx-encdec",
+                 max_new: int = 224, prompt_tokens: Optional[List[str]] = None,
+                 eos_tokens: Sequence[str] = ("</s>", "<|endoftext|>", "<eos>")):
+        import jax
+
+        self.name = model_id
+        self.max_new = max_new
+        model_dir = Path(model_dir)
+        enc_p = find_onnx(model_dir, "encoder", "encode")
+        # prefer an uncached/merged decoder export over a cached-only one
+        dec_p = (find_onnx(model_dir, "uncached", exclude=("joint",))
+                 or find_onnx(model_dir, "merged", exclude=("joint",))
+                 or find_onnx(model_dir, "decoder", "decode",
+                              exclude=("joint", "cached")))
+        if enc_p is None or dec_p is None:
+            raise FileNotFoundError(f"need encoder+decoder .onnx in {model_dir}")
+        self.enc = OnnxRunner.load(enc_p).validate()
+        self.dec = OnnxRunner.load(dec_p).validate()
+        self.decode_ids, self.vocab_size = load_tokenizer(model_dir)
+        self.vocab_list = load_vocab_file(model_dir)
+
+        ecls = _classify(self.enc)
+        self.enc_feats_name, _, efs = ecls["float"][0]
+        self.frontend, self.kind = _pick_frontend(efs)
+        self.enc_ints = ecls["int"]
+
+        dcls = _classify(self.dec)
+        self.dec_tok = None
+        for name, et, shape in dcls["int"]:
+            low = name.lower()
+            if "id" in low or "token" in low or "target" in low or "decoder_input" in low:
+                self.dec_tok = (name, et, shape)
+                break
+        if self.dec_tok is None and dcls["int"]:
+            self.dec_tok = dcls["int"][0]
+        if self.dec_tok is None:
+            raise ValueError("decoder graph has no token-ids input")
+        self.dec_ints = [i for i in dcls["int"] if i[0] != self.dec_tok[0]]
+        self.dec_enc = dcls["float"][0] if dcls["float"] else None
+        self.dec_states = dcls["state"]
+        self.dec_bools = dcls["bool"]
+
+        self.prompt_ids = self._resolve_prompt(prompt_tokens)
+        self.eos_id = self._resolve_eos(eos_tokens)
+
+        enc_runner, dec_runner = self.enc, self.dec
+
+        @jax.jit
+        def encode(feats, extra):
+            inputs = {self.enc_feats_name: feats}
+            inputs.update(extra)
+            out = enc_runner(**inputs)
+            for name in enc_runner.output_names:
+                v = out[name]
+                if getattr(v, "ndim", 0) == 3:
+                    return v
+            raise ValueError("no rank-3 encoder output")
+
+        @jax.jit
+        def decode(tokens, enc_out, extra):
+            name, et, shape = self.dec_tok
+            inputs = {name: tokens.astype(_np_dtype(et))}
+            if self.dec_enc is not None:
+                inputs[self.dec_enc[0]] = enc_out
+            inputs.update(extra)
+            out = dec_runner(**inputs)
+            for oname in dec_runner.output_names:
+                v = out[oname]
+                if getattr(v, "ndim", 0) == 3 and v.shape[-1] >= (self.vocab_size or 2):
+                    return v
+            # fall back: first rank-3 output
+            for oname in dec_runner.output_names:
+                v = out[oname]
+                if getattr(v, "ndim", 0) == 3:
+                    return v
+            raise ValueError("no logits output")
+
+        self._encode = encode
+        self._decode = decode
+
+    # -- token id resolution --------------------------------------------------
+    def _find_token(self, names: Sequence[str]) -> Optional[int]:
+        if not self.vocab_list:
+            return None
+        for n in names:
+            if n in self.vocab_list:
+                return self.vocab_list.index(n)
+        return None
+
+    def _resolve_prompt(self, prompt_tokens: Optional[List[str]]) -> List[int]:
+        if prompt_tokens:
+            ids = [self._find_token([t]) for t in prompt_tokens]
+            ids = [i for i in ids if i is not None]
+            if ids:
+                return ids
+        # canary-style task prompt if present in the vocab
+        ids = []
+        for group in (["<|startoftranscript|>"], ["<|en|>"], ["<|transcribe|>"],
+                      ["<|en|>"], ["<|pnc|>", "<|nopnc|>"]):
+            i = self._find_token(group)
+            if i is not None:
+                ids.append(i)
+        if ids:
+            return ids
+        i = self._find_token(["<s>", "<bos>", "<|startoftranscript|>"])
+        return [i if i is not None else 1]
+
+    def _resolve_eos(self, eos_tokens) -> int:
+        i = self._find_token(list(eos_tokens) + ["<|endoftranscript|>"])
+        if i is not None:
+            return i
+        return 2  # SPM convention
+
+    # -- state/cache zero inputs ----------------------------------------------
+    def _zero_states(self, B: int) -> Dict[str, np.ndarray]:
+        extra: Dict[str, np.ndarray] = {}
+        for name, et, shape in self.dec_states:
+            dims = []
+            for i, d in enumerate(shape or [1, B, 0, 64]):
+                if d:
+                    dims.append(d)
+                elif i == 0:
+                    dims.append(B)
+                else:
+                    dims.append(0)  # past sequence length: empty cache
+            extra[name] = np.zeros(dims, _np_dtype(et))
+        for name, _shape in self.dec_bools:
+            extra[name] = np.array(False)  # use_cache_branch = False
+        return extra
+
+    def transcribe_batch(self, chunks_16k: np.ndarray, language: str = "en") -> List[str]:
+        a = np.atleast_2d(np.asarray(chunks_16k, np.float32))
+        B = a.shape[0]
+        feats = self.frontend(a)
+        n_frames = _frame_count(self.kind, a.shape[1])
+        extra = {name: np.full(B, n_frames, _np_dtype(et))
+                 for name, et, _ in self.enc_ints}
+        enc_out = self._encode(feats, extra)
+
+        P = len(self.prompt_ids)
+        S = P + self.max_new
+        tokens = np.zeros((B, S), np.int64)
+        tokens[:, :P] = self.prompt_ids
+        done = np.zeros(B, bool)
+        state_extra = self._zero_states(B)
+        dec_int_extra = {}
+        for name, et, shape in self.dec_ints:
+            dec_int_extra[name] = np.full(B, S, _np_dtype(et))
+        state_extra.update(dec_int_extra)
+        for s in range(P, S):
+            logits = np.asarray(self._decode(tokens, enc_out, state_extra))
+            nxt = logits[:, s - 1].argmax(axis=-1)
+            nxt = np.where(done, self.eos_id, nxt)
+            tokens[:, s] = nxt
+            done |= nxt == self.eos_id
+            if done.all():
+                break
+        out = []
+        for b in range(B):
+            seq = []
+            for tkn in tokens[b, P:]:
+                if int(tkn) == self.eos_id:
+                    break
+                seq.append(int(tkn))
+            out.append(self.decode_ids(seq))
+        return out
+
+    def transcribe_with_timestamps(self, chunk_16k, offset_seconds):
+        text = self.transcribe_batch(chunk_16k[None, :])[0]
+        dur = len(chunk_16k) / 16000.0
+        return [(offset_seconds, offset_seconds + dur, text)] if text.strip() else []
+
+    def transcribe_batch_with_timestamps(self, chunks, offsets):
+        return [self.transcribe_with_timestamps(chunks[j], offsets[j])
+                for j in range(len(chunks))]

@@ -218,12 +218,12 @@ def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
         elif (path / "model.safetensors").exists() or (path / "pytorch_model.bin").exists():
             mm = MoonshineModel.from_hf(path, name=model_id)
         else:
-            raise NotImplementedError(
-                "this moonshine bundle ships ONNX weights; prepare the JAX "
-                "bundle (params.npz + config.json + tokenizer.json) or drop "
-                "an HF checkpoint (model.safetensors + tokenizer.json) into "
-                "the model dir"
-            )
+            # the catalog bundle ships ONNX graphs (transcribe-rs
+            # MoonshineModel, managers/transcription.rs:146-149): run them
+            # directly through the ONNX->JAX executor
+            from .onnx_engines import engine_from_onnx_dir
+
+            return engine_from_onnx_dir(model_id, path)
 
         class _MoonshineEngine(EngineProtocol):
             name = model_id
@@ -294,12 +294,12 @@ def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
                     return [" ".join(map(str, s)) for s in seqs]
 
             return _ParakeetCtcEngine()
-        raise NotImplementedError(
-            "this parakeet bundle ships NeMo/ONNX exports; drop an HF "
-            "ParakeetForCTC checkpoint into the model dir (the NeMo TDT "
-            "weight mapping lands with real checkpoints — the TDT decoder "
-            "itself is implemented in models/parakeet)"
-        )
+        # the catalog bundle is the NeMo ONNX export pair (transcribe-rs
+        # ParakeetModel, managers/transcription.rs:141-144): greedy TDT over
+        # the executor
+        from .onnx_engines import OnnxTdtEngine
+
+        return OnnxTdtEngine(path, model_id)
     if info.engine_type == "canary":
         import json
 
@@ -311,13 +311,12 @@ def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
         from ..dsp.fbank import fbank
 
         if not (path / "params.npz").exists():
-            raise NotImplementedError(
-                "this canary bundle ships a NeMo export; prepare the JAX "
-                "bundle (params.npz in models/canary layout + config.json + "
-                "tokenizer.model) — the NeMo weight mapping lands with real "
-                "checkpoint files (decoder/encoder are implemented in "
-                "models/canary)"
-            )
+            # the catalog bundle is the NeMo ONNX export (transcribe-rs
+            # CanaryModel, managers/transcription.rs:157-160): AR greedy over
+            # the executor
+            from .onnx_engines import OnnxEncDecEngine
+
+            return OnnxEncDecEngine(path, model_id)
         raw = json.loads((path / "config.json").read_text())
         prompt_ids = raw.pop("prompt_ids", None)
         if "config" in raw:
@@ -353,13 +352,12 @@ def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
         from ..dsp.fbank import fbank
 
         if not (path / "params.npz").exists():
-            raise NotImplementedError(
-                "this gigaam bundle ships a NeMo/ONNX export; prepare the "
-                "JAX bundle (params.npz in models/parakeet FastConformer "
-                "layout with sub_factor=4, config.json with encoder dims + "
-                "labels) — GigaAM's conformer-CTC runs on the same encoder "
-                "module"
-            )
+            # the catalog bundle is the GigaAM ONNX export (transcribe-rs
+            # GigaAMModel, managers/transcription.rs:149-152): CTC over the
+            # executor
+            from .onnx_engines import OnnxCtcEngine
+
+            return OnnxCtcEngine(path, model_id)
         raw = json.loads((path / "config.json").read_text())
         cfg = pk.ParakeetConfig(**raw.get("encoder", {}))
         labels = raw["labels"]  # id → string; blank is cfg.blank_id
@@ -387,11 +385,12 @@ def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
         from ..dsp.fbank import fbank
 
         if not (path / "params.npz").exists():
-            raise NotImplementedError(
-                "this sensevoice bundle ships a FunASR/ONNX export; prepare "
-                "the JAX bundle (params.npz in models/sensevoice layout + "
-                "config.json with prompt_ids + tokenizer.model)"
-            )
+            # the catalog bundle is the FunASR ONNX export (transcribe-rs
+            # SenseVoiceModel, managers/transcription.rs:153-156): CTC (blank
+            # id 0, FunASR convention) over the executor
+            from .onnx_engines import OnnxCtcEngine
+
+            return OnnxCtcEngine(path, model_id, blank_id=0)
         raw = json.loads((path / "config.json").read_text())
         cfg = (sv.CONFIGS[raw["config"]] if "config" in raw
                else sv.SenseVoiceConfig(**{k: v for k, v in raw.items()
@@ -411,10 +410,15 @@ def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
                 return [vocab.decode(s) for s in sv.ctc_greedy(logits, cfg)]
 
         return _SenseVoiceEngine()
-    raise NotImplementedError(
-        f"engine '{info.engine_type}' not yet implemented in the TPU build "
-        "(the cohere JAX port lands in a subsequent round)"
-    )
+    if info.engine_type == "cohere":
+        # transcribe-rs's CohereModel is an external ONNX crate
+        # (managers/transcription.rs:161-164); the bundle's architecture is
+        # pinned at load time from its file inventory and runs through the
+        # executor (encoder+decoder -> AR greedy; single graph -> CTC)
+        from .onnx_engines import engine_from_onnx_dir
+
+        return engine_from_onnx_dir(model_id, path)
+    raise ValueError(f"unknown engine type '{info.engine_type}'")
 
 
 # ---------------------------------------------------------------------------

@@ -254,7 +254,17 @@ class OnnxRunner:
     def validate(self) -> "OnnxRunner":
         """Raise NotImplementedError up front if any node op is unsupported
         (lets callers fall back at load time, not mid-inference)."""
-        missing = sorted({n.op_type for n in self.graph.nodes if n.op_type not in _OPS})
+        def collect(nodes):
+            for n in nodes:
+                if n.op_type == "If":
+                    for key in ("then_branch", "else_branch"):
+                        sub = n.attrs.get(key)
+                        if sub is not None:
+                            yield from collect(sub.nodes)
+                    continue
+                yield n.op_type
+
+        missing = sorted({t for t in collect(self.graph.nodes) if t not in _OPS})
         if missing:
             raise NotImplementedError(f"unsupported ONNX ops: {', '.join(missing)}")
         return self
@@ -268,7 +278,25 @@ class OnnxRunner:
         vals.update(inputs)
         import jax
 
-        for node in self.graph.nodes:
+        self._run_nodes(self.graph.nodes, vals)
+        return {n: vals[n] for n in self.output_names}
+
+    def _run_nodes(self, nodes, vals: Dict[str, Any]) -> None:
+        import jax
+
+        for node in nodes:
+            if node.op_type == "If":
+                # condition must be compile-time static (e.g. a
+                # use_cache_branch flag fed as a numpy bool); the chosen
+                # branch executes in the enclosing scope.
+                cond = bool(np.asarray(_static(vals[node.inputs[0]], "If condition")).item())
+                sub: OnnxGraph = node.attrs["then_branch" if cond else "else_branch"]
+                inner = dict(vals)
+                inner.update(sub.initializers)
+                self._run_nodes(sub.nodes, inner)
+                for name, out_name in zip(node.outputs, sub.outputs):
+                    vals[name] = inner[out_name]
+                continue
             handler = _OPS.get(node.op_type)
             if handler is None:
                 raise NotImplementedError(f"ONNX op {node.op_type} (node {node.name!r})")
@@ -289,7 +317,6 @@ class OnnxRunner:
                 if static_in and o is not None and not _is_static(o):
                     o = np.asarray(o)
                 vals[name] = o
-        return {n: vals[n] for n in self.output_names}
 
 
 # -- op handlers -------------------------------------------------------------

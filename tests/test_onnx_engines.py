@@ -1,0 +1,238 @@
+"""ONNX-bundle ASR engines (CTC / TDT / enc-dec) over the executor.
+
+Fixtures replicate the export contracts transcribe-rs consumes
+(managers/transcription.rs:119-172): GigaAM CTC (features [B,64,T] →
+log_probs), SenseVoice (speech [B,T,560] + language/textnorm ints),
+Parakeet TDT (encoder + decoder_joint with LSTM states and duration
+heads), Canary (encoder + causal AR decoder). Checks: wiring, greedy
+semantics, determinism, and batch invariance (B=2 equals two B=1 runs —
+the state-masking property the TDT loop must preserve).
+"""
+
+import numpy as np
+import pytest
+
+import onnx_builder as ob
+
+F32, I32, I64 = 1, 6, 7
+
+
+def write_vocab(d, tokens, name="vocab.txt"):
+    (d / name).write_text("\n".join(tokens), encoding="utf-8")
+
+
+# ---------------------------------------------------------------------------
+# GigaAM-style CTC
+# ---------------------------------------------------------------------------
+
+def make_gigaam_bundle(d, V=8, D=6, seed=0):
+    rng = np.random.default_rng(seed)
+    conv_w = (rng.standard_normal((D, 64, 3)) * 0.3).astype(np.float32)
+    proj = rng.standard_normal((D, V)).astype(np.float32)
+    nodes = [
+        ob.node("Conv", ["features", "conv_w"], ["c"], strides=[4],
+                pads=[1, 1], kernel_shape=[3]),
+        ob.node("Transpose", ["c"], ["ct"], perm=[0, 2, 1]),
+        ob.node("MatMul", ["ct", "proj"], ["lg"]),
+        ob.node("LogSoftmax", ["lg"], ["log_probs"], axis=-1),
+    ]
+    ob.write_model(d / "model.int8.onnx", nodes,
+                   [("features", F32, [None, 64, None]),
+                    ("feature_lengths", I64, [None])],
+                   [("log_probs", F32, [None, None, V])],
+                   {"conv_w": conv_w, "proj": proj})
+    write_vocab(d, [chr(ord("a") + i) for i in range(V - 1)], "v3_vocab.txt")
+    return d
+
+
+def test_ctc_engine_gigaam_layout(tmp_path):
+    from crispy_tpu.engine.onnx_engines import OnnxCtcEngine
+
+    d = make_gigaam_bundle(tmp_path)
+    eng = OnnxCtcEngine(d, "gigaam-test")
+    assert eng.kind == "mel64_ct"
+    rng = np.random.default_rng(1)
+    chunks = (rng.standard_normal((2, 16000)) * 0.3).astype(np.float32)
+    texts = eng.transcribe_batch(chunks)
+    assert len(texts) == 2 and all(isinstance(t, str) for t in texts)
+    # deterministic + batch-invariant
+    assert texts == eng.transcribe_batch(chunks)
+    assert texts[0] == eng.transcribe_batch(chunks[:1])[0]
+    # greedy-collapse semantics vs a manual decode of the same logits
+    feats = eng.frontend(chunks[:1])
+    logits = np.asarray(eng._run(feats, eng._extra_inputs(1, 16000 // 160 + 1)))
+    ids = logits[0].argmax(-1)
+    blank = logits.shape[-1] - 1  # vocab (7) < V (8) → NeMo blank-last
+    seq, prev = [], -1
+    for t in ids:
+        if t != prev and t != blank:
+            seq.append(int(t))
+        prev = int(t)
+    assert texts[0] == eng.decode_ids(seq)
+
+
+# ---------------------------------------------------------------------------
+# SenseVoice-style CTC (LFR features + language/textnorm inputs)
+# ---------------------------------------------------------------------------
+
+def make_sensevoice_bundle(d, V=12, seed=2):
+    rng = np.random.default_rng(seed)
+    proj = rng.standard_normal((560, V)).astype(np.float32)
+    nodes = [
+        ob.node("MatMul", ["speech", "proj"], ["lg"]),
+        ob.node("LogSoftmax", ["lg"], ["ctc_logits"], axis=-1),
+    ]
+    ob.write_model(d / "model.int8.onnx", nodes,
+                   [("speech", F32, [None, None, 560]),
+                    ("speech_lengths", I32, [None]),
+                    ("language", I32, [None]),
+                    ("textnorm", I32, [None])],
+                   [("ctc_logits", F32, [None, None, V])], {"proj": proj})
+    write_vocab(d, ["<blank>"] + [f"▁w{i}" for i in range(V - 1)], "tokens.txt")
+    return d
+
+
+def test_ctc_engine_sensevoice_layout(tmp_path):
+    from crispy_tpu.engine.onnx_engines import OnnxCtcEngine
+
+    d = make_sensevoice_bundle(tmp_path)
+    eng = OnnxCtcEngine(d, "sensevoice-test", blank_id=0)
+    assert eng.kind == "lfr560"
+    chunks = (np.random.default_rng(3).standard_normal((2, 32000)) * 0.2).astype(np.float32)
+    texts = eng.transcribe_batch(chunks)
+    assert len(texts) == 2
+    assert texts == eng.transcribe_batch(chunks)
+
+
+# ---------------------------------------------------------------------------
+# Parakeet-style TDT (encoder + decoder_joint, istupakov/NeMo export layout)
+# ---------------------------------------------------------------------------
+
+def make_parakeet_bundle(d, V=10, D=8, H=6, n_dur=5, seed=4):
+    rng = np.random.default_rng(seed)
+    # encoder: conv stride 8 over mel 80 → outputs [B, D, T']
+    conv_w = (rng.standard_normal((D, 80, 5)) * 0.2).astype(np.float32)
+    ob.write_model(d / "encoder-model.int8.onnx", [
+        ob.node("Conv", ["audio_signal", "conv_w"], ["outputs"], strides=[8],
+                pads=[2, 2], kernel_shape=[5]),
+    ], [("audio_signal", F32, [None, 80, None]), ("length", I64, [None])],
+        [("outputs", F32, [None, D, None])], {"conv_w": conv_w})
+
+    # decoder_joint: logits = W_f·frame + emb[target] + W_s·state;
+    # states advance by +0.25 per step (exercises masked state carry).
+    w_f = (rng.standard_normal((D, V + 1 + n_dur)) * 0.8).astype(np.float32)
+    emb = (rng.standard_normal((V + 1, V + 1 + n_dur)) * 0.5).astype(np.float32)
+    w_s = (rng.standard_normal((H, V + 1 + n_dur)) * 0.3).astype(np.float32)
+    nodes = [
+        # frame [B, D, 1] → [B, 1, D] → [B, D]
+        ob.node("Transpose", ["encoder_outputs"], ["ft"], perm=[0, 2, 1]),
+        ob.node("Squeeze", ["ft", "ax1"], ["frame"]),
+        ob.node("MatMul", ["frame", "w_f"], ["lf"]),
+        ob.node("Gather", ["emb", "targets"], ["et"], axis=0),  # [B,1,V+1+nd]
+        ob.node("Squeeze", ["et", "ax1"], ["e"]),
+        # state contribution: input_states_1 [1, B, H] → [B, H]
+        ob.node("Squeeze", ["input_states_1", "ax0"], ["s1"]),
+        ob.node("MatMul", ["s1", "w_s"], ["ls"]),
+        ob.node("Add", ["lf", "e"], ["l1"]),
+        ob.node("Add", ["l1", "ls"], ["l2"]),
+        ob.node("Unsqueeze", ["l2", "ax1"], ["l3"]),
+        ob.node("Unsqueeze", ["l3", "ax1"], ["outputs"]),  # [B,1,1,V+1+nd]
+        ob.node("Add", ["input_states_1", "quarter"], ["output_states_1"]),
+        ob.node("Add", ["input_states_2", "quarter"], ["output_states_2"]),
+    ]
+    ob.write_model(d / "decoder_joint-model.int8.onnx", nodes,
+                   [("encoder_outputs", F32, [None, D, 1]),
+                    ("targets", I32, [None, 1]),
+                    ("target_length", I32, [None]),
+                    ("input_states_1", F32, [1, None, H]),
+                    ("input_states_2", F32, [1, None, H])],
+                   [("outputs", F32, [None, 1, 1, V + 1 + n_dur]),
+                    ("output_states_1", F32, [1, None, H]),
+                    ("output_states_2", F32, [1, None, H])],
+                   {"w_f": w_f, "emb": emb, "w_s": w_s,
+                    "ax0": np.array([0], np.int64), "ax1": np.array([1], np.int64),
+                    "quarter": np.float32(0.25)})
+    write_vocab(d, [f"▁t{i}" for i in range(V)])
+    return d
+
+
+def test_tdt_engine_batch_invariant(tmp_path):
+    from crispy_tpu.engine.onnx_engines import OnnxTdtEngine
+
+    d = make_parakeet_bundle(tmp_path)
+    eng = OnnxTdtEngine(d, "parakeet-test")
+    rng = np.random.default_rng(5)
+    chunks = (rng.standard_normal((2, 24000)) * 0.3).astype(np.float32)
+    texts = eng.transcribe_batch(chunks)
+    assert len(texts) == 2
+    assert texts == eng.transcribe_batch(chunks)  # deterministic
+    solo = [eng.transcribe_batch(chunks[i:i + 1])[0] for i in range(2)]
+    assert texts == solo  # state masking keeps rows independent
+
+
+# ---------------------------------------------------------------------------
+# Canary-style encoder-decoder (causal AR decoder)
+# ---------------------------------------------------------------------------
+
+def make_canary_bundle(d, V=16, D=6, E=5, seed=6):
+    rng = np.random.default_rng(seed)
+    conv_w = (rng.standard_normal((D, 80, 3)) * 0.2).astype(np.float32)
+    ob.write_model(d / "encoder-model.onnx", [
+        ob.node("Conv", ["audio_signal", "conv_w"], ["c"], strides=[8],
+                pads=[1, 1], kernel_shape=[3]),
+        ob.node("Transpose", ["c"], ["encoder_states"], perm=[0, 2, 1]),
+    ], [("audio_signal", F32, [None, 80, None]), ("length", I64, [None])],
+        [("encoder_states", F32, [None, None, D])], {"conv_w": conv_w})
+
+    emb = (rng.standard_normal((V, E)) * 0.7).astype(np.float32)
+    enc_proj = (rng.standard_normal((D, E)) * 0.4).astype(np.float32)
+    out_w = rng.standard_normal((E, V)).astype(np.float32)
+    nodes = [
+        ob.node("Gather", ["emb", "input_ids"], ["te"], axis=0),  # [B,S,E]
+        ob.node("CumSum", ["te", "one"], ["causal"]),  # causal mix over S
+        ob.node("ReduceMean", ["encoder_states", "t_ax"], ["ctx"], keepdims=1),
+        ob.node("MatMul", ["ctx", "enc_proj"], ["ctx_e"]),  # [B,1,E]
+        ob.node("Add", ["causal", "ctx_e"], ["h"]),
+        ob.node("MatMul", ["h", "out_w"], ["logits"]),
+    ]
+    ob.write_model(d / "decoder-model.onnx", nodes,
+                   [("input_ids", I32, [None, None]),
+                    ("encoder_states", F32, [None, None, D])],
+                   [("logits", F32, [None, None, V])],
+                   {"emb": emb, "enc_proj": enc_proj, "out_w": out_w,
+                    "one": np.array(1, np.int64), "t_ax": np.array([1], np.int64)})
+    vocab = (["<pad>", "<s>", "</s>", "<|startoftranscript|>", "<|en|>",
+              "<|transcribe|>", "<|pnc|>"] + [f"▁c{i}" for i in range(V - 7)])
+    write_vocab(d, vocab)
+    return d
+
+
+def test_encdec_engine_canary_prompt_and_decode(tmp_path):
+    from crispy_tpu.engine.onnx_engines import OnnxEncDecEngine
+
+    d = make_canary_bundle(tmp_path)
+    eng = OnnxEncDecEngine(d, "canary-test", max_new=12)
+    # the canary-style task prompt was found in the vocab
+    assert eng.prompt_ids == [3, 4, 5, 4, 6]
+    assert eng.eos_id == 2
+    rng = np.random.default_rng(7)
+    chunks = (rng.standard_normal((2, 16000)) * 0.3).astype(np.float32)
+    texts = eng.transcribe_batch(chunks)
+    assert len(texts) == 2
+    assert texts == eng.transcribe_batch(chunks)
+    solo = [eng.transcribe_batch(chunks[i:i + 1])[0] for i in range(2)]
+    assert texts == solo
+
+    # causal padded decode: logits at position s-1 ignore later pad tokens —
+    # verified by comparing against an explicit unpadded step-by-step decode
+    feats = eng.frontend(chunks[:1])
+    enc = eng._encode(feats, {"length": np.full(1, 16000 // 160 + 1, np.int64)})
+    toks = list(eng.prompt_ids)
+    for _ in range(12):
+        t = np.asarray(toks, np.int64)[None, :]
+        logits = np.asarray(eng._decode(t, enc, {}))
+        nxt = int(logits[0, -1].argmax())
+        if nxt == eng.eos_id:
+            break
+        toks.append(nxt)
+    assert eng.decode_ids(toks[len(eng.prompt_ids):]) == texts[0]
