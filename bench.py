@@ -1,13 +1,20 @@
-"""Headline benchmark: RNNoise denoise throughput per chip (48 kHz).
+"""Headline benchmarks on the real chip. Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", "extra": {...}}.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline target: >= 5000x real time per chip (BASELINE.json north_star).
+Primary metric (north star #1): RNNoise denoise throughput per chip
+(target >= 5000x real time @48 kHz, BASELINE.json). The "extra" field
+carries the remaining BASELINE configs measured in the same run:
+  * whisper_base_rtf / whisper_tiny_rtf — config 4 / north star #2
+    (RTF <= 0.05): batched 30 s chunks, greedy decode to the full 224-step
+    worst case, base/tiny-shaped weights (throughput is shape-determined).
+  * logmel_x_realtime — config 3: 80-bin log-mel frontend.
+  * resample_mix_x_realtime — config 2: 44.1->48 kHz polyphase resample +
+    dual-mono mix (recording pipeline).
+  * concurrent_denoise_asr_rtf — config 5: denoise @48 kHz + ASR on the
+    same audio, minutes-long input.
 
-Measures the steady-state jitted block step on device-resident batches
-(the production feeder double-buffers host->device transfers); the full
-algorithm runs per frame — windowed DFT analysis, Bark bands, celt pitch
-search + remove_doubling, 42 features, GRU inference, pitch filter, gain
-interpolation, synthesis overlap-add — at oracle parity (<=1e-4).
+All paths measure steady-state jitted steps on device-resident data; the
+full algorithms run (no stubs), at oracle parity where defined.
 """
 
 import json
@@ -17,8 +24,20 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
 
-def main():
-    import jax
+def _timeit(fn, sync, reps=3, inner=5):
+    fn()
+    sync()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        for _ in range(inner):
+            fn()
+        sync()
+        best = min(best, (time.time() - t0) / inner)
+    return best
+
+
+def bench_denoise():
     import jax.numpy as jnp
     import numpy as np
 
@@ -30,25 +49,136 @@ def main():
     state = jp.init_state(S)
     rng = np.random.default_rng(0)
     block = jnp.asarray(rng.standard_normal((S, F * 480), dtype=np.float32) * 0.3)
+    out_box = [None]
 
-    state, out, _ = jp._denoise_block_jit(params, state, block)
-    _ = float(out.sum())  # force full execution (block_until_ready lies on proxied backends)
+    def step():
+        st, out, _ = jp._denoise_block_jit(params, state, block)
+        out_box[0] = out
 
-    best = 0.0
-    for _rep in range(3):
-        n = 15
-        t0 = time.time()
-        for _ in range(n):
-            state, out, _ = jp._denoise_block_jit(params, state, block)
-        _ = float(out.sum())
-        dt = (time.time() - t0) / n
-        best = max(best, (S * F * 480 / 48000) / dt)
+    dt = _timeit(step, lambda: float(out_box[0].sum()), reps=3, inner=15)
+    return (S * F * 480 / 48000) / dt
+
+
+def bench_whisper(size="base", B=8, max_new=224):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crispy_tpu.dsp.mel import log_mel_spectrogram
+    from crispy_tpu.models.whisper import WhisperModel
+    from crispy_tpu.models.whisper.model import greedy_decode
+
+    m = WhisperModel.random(size) if size in ("tiny", "base") else None
+    if m is None:
+        raise ValueError(size)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((B, 480000)).astype(np.float32) * 0.1)
+    mel = log_mel_spectrogram(audio, n_mels=m.cfg.n_mels)
+    prompt = jnp.asarray(
+        np.tile(np.array([m.cfg.sot, m.cfg.sot + 1, m.cfg.sot + 2], np.int32), (B, 1)))
+    box = [None]
+
+    def step():
+        toks, lens = greedy_decode(m.params, m.cfg, mel, prompt,
+                                   max_new=max_new, eot=-1)  # never stops: worst case
+        box[0] = toks
+
+    dt = _timeit(step, lambda: int(np.asarray(box[0]).sum()), reps=2, inner=2)
+    return dt / (B * 30.0)  # RTF (wall seconds per audio second)
+
+
+def bench_logmel(B=64):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crispy_tpu.dsp.mel import log_mel_spectrogram
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((B, 480000)).astype(np.float32) * 0.1)
+    fn = jax.jit(lambda a: log_mel_spectrogram(a, n_mels=80))
+    box = [None]
+
+    def step():
+        box[0] = fn(audio)
+
+    dt = _timeit(step, lambda: float(box[0].sum()), reps=3, inner=5)
+    return (B * 30.0) / dt  # x real time
+
+
+def bench_resample_mix(seconds=600):
+    import numpy as np
+
+    from crispy_tpu.dsp.resample import resample_poly
+
+    rng = np.random.default_rng(0)
+    mic = (rng.standard_normal(int(44100 * seconds)) * 0.3).astype(np.float32)
+    app = (rng.standard_normal(int(48000 * seconds)) * 0.3).astype(np.float32)
+    box = [None]
+
+    def step():
+        mic48 = resample_poly(mic, 44100, 48000)
+        n = min(mic48.size, app.size)
+        mixed = mic48[:n] + app[:n]
+        box[0] = np.stack([mixed, mixed], axis=1)  # dual-mono (recording.rs R3)
+
+    dt = _timeit(step, lambda: float(box[0].sum()), reps=3, inner=2)
+    return seconds / dt
+
+
+def bench_concurrent(minutes=4):
+    """Config 5: denoise @48 kHz + whisper-tiny ASR on the same audio."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crispy_tpu.dsp.mel import log_mel_spectrogram
+    from crispy_tpu.dsp.rnnoise import jax_pipeline as jp
+    from crispy_tpu.dsp.rnnoise.weights import deterministic_test_model
+    from crispy_tpu.models.whisper import WhisperModel
+    from crispy_tpu.models.whisper.model import greedy_decode
+
+    seconds = minutes * 60
+    rng = np.random.default_rng(0)
+    audio48 = jnp.asarray(rng.standard_normal((1, 48000 * seconds)).astype(np.float32) * 0.2)
+    params = jp.make_params(deterministic_test_model())
+    m = WhisperModel.random("tiny")
+    B = seconds // 30
+    audio16 = jnp.asarray(rng.standard_normal((B, 480000)).astype(np.float32) * 0.1)
+    prompt = jnp.asarray(np.tile(np.array([m.cfg.sot], np.int32), (B, 1)))
+    box = [None]
+
+    def step():
+        st = jp.init_state(1)
+        _, den, _ = jp._denoise_block_jit(params, st, audio48)
+        mel = log_mel_spectrogram(audio16, n_mels=m.cfg.n_mels)
+        toks, _ = greedy_decode(m.params, m.cfg, mel, prompt, max_new=64, eot=-1)
+        box[0] = (den, toks)
+
+    dt = _timeit(step, lambda: (float(box[0][0].sum()),
+                                int(np.asarray(box[0][1]).sum())), reps=2, inner=1)
+    return dt / seconds  # RTF
+
+
+def main():
+    denoise_x = bench_denoise()
+    extra = {}
+    for key, fn in (
+        ("whisper_base_rtf", lambda: bench_whisper("base")),
+        ("whisper_tiny_rtf", lambda: bench_whisper("tiny")),
+        ("logmel_x_realtime", bench_logmel),
+        ("resample_mix_x_realtime", bench_resample_mix),
+        ("concurrent_denoise_asr_rtf", bench_concurrent),
+    ):
+        try:
+            extra[key] = round(fn(), 5)
+        except Exception as e:  # a sub-bench must never kill the headline
+            extra[key] = f"error: {type(e).__name__}: {e}"[:200]
 
     print(json.dumps({
         "metric": "rnnoise_denoise_realtime_factor_per_chip",
-        "value": round(best, 1),
+        "value": round(denoise_x, 1),
         "unit": "x_realtime_48khz",
-        "vs_baseline": round(best / 5000.0, 3),
+        "vs_baseline": round(denoise_x / 5000.0, 3),
+        "extra": extra,
     }))
 
 

@@ -33,12 +33,28 @@ from ..utils import paths, settings as settings_mod
 class CrispyApp:
     """Managed state bundle (the tauri::State singletons, main.rs:227-242)."""
 
-    def __init__(self, bus: Optional[EventBus] = None, data_root: Optional[Path] = None):
+    def __init__(self, bus: Optional[EventBus] = None, data_root: Optional[Path] = None,
+                 mesh=None):
         self.bus = bus or BUS
         self._data_root = data_root
+        if mesh is None:
+            import os
+
+            if os.environ.get("CRISPY_MESH", "").lower() == "auto":
+                mesh = "auto"
+        if mesh == "auto":
+            # shard over every visible chip (CRISPY_MESH=auto opts in; the
+            # single-chip default keeps small jobs latency-optimal)
+            import jax
+
+            from .. import parallel
+
+            mesh = parallel.make_mesh() if len(jax.devices()) > 1 else None
+        self.mesh = mesh
         self.model_manager = reg_mod.ModelManager(bus=self.bus)
         self.selected_model = reg_mod.SelectedModelState(bus=self.bus)
-        self.transcription_manager = tr_mod.TranscriptionManager(self.model_manager, bus=self.bus)
+        self.transcription_manager = tr_mod.TranscriptionManager(
+            self.model_manager, bus=self.bus, mesh=mesh)
         self.monitoring = mon_mod.MonitoringEngine(bus=self.bus)
         self.recording_state = rec_mod.RecordingState()
         self._main_window_visible = True

@@ -822,12 +822,15 @@ def denoise_batch(
     block_frames: int = 500,
     params=None,
     return_vad: bool = False,
+    mesh=None,
 ):
     """Denoise [S, T] (or [T]) mono audio in [-1, 1]; returns same shape.
 
     Processes fixed-size blocks through the jitted step; trailing samples
     that don't fill a frame pass through unchanged (reference behavior:
-    partial frames are never emitted by the NS processor).
+    partial frames are never emitted by the NS processor). With a mesh the
+    stream axis shards over 'data' (padded to the dp size) and the block
+    step runs SPMD across chips.
     """
     squeeze = audio.ndim == 1
     a = np.atleast_2d(np.asarray(audio, dtype=np.float32))
@@ -837,7 +840,24 @@ def denoise_batch(
     n_frames = T // FRAME
     out = np.array(a, copy=True)
     vads = []
-    state = init_state(S)
+    Sp = S
+    shard = None
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = mesh.devices.shape[0]
+        Sp = -(-S // dp) * dp
+
+        def shard(x):
+            spec = P("data", *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        params = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), params)
+    state = init_state(Sp)
+    if shard is not None:
+        state = jax.tree.map(shard, state)
     blk = block_frames * FRAME
     done = 0
     while done < n_frames * FRAME:
@@ -845,10 +865,13 @@ def denoise_batch(
         chunk = a[:, done: done + todo]
         if todo < blk:  # pad the tail block to keep one compiled shape
             chunk = np.pad(chunk, ((0, 0), (0, blk - todo)))
-        state, o, v = _denoise_block_jit(params, state, jnp.asarray(chunk))
-        out[:, done: done + todo] = np.asarray(o)[:, :todo]
+        if Sp != S:
+            chunk = np.pad(chunk, ((0, Sp - S), (0, 0)))
+        chunk = jnp.asarray(chunk) if shard is None else shard(jnp.asarray(chunk))
+        state, o, v = _denoise_block_jit(params, state, chunk)
+        out[:, done: done + todo] = np.asarray(o)[:S, :todo]
         if return_vad:
-            vads.append(np.asarray(v)[:, : todo // FRAME])
+            vads.append(np.asarray(v)[:S, : todo // FRAME])
         done += todo
     if return_vad:
         v = np.concatenate(vads, axis=1) if vads else np.zeros((S, 0), np.float32)

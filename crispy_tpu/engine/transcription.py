@@ -161,12 +161,14 @@ class EngineProtocol:
                 for j in range(len(chunks_16k))]
 
 
-def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
+def load_engine(model_id: str, model_manager: ModelManager,
+                mesh=None) -> EngineProtocol:
     """EngineType dispatch (managers/transcription.rs:119-172).
 
     whisper ggml files and HF checkpoint dirs load into the JAX Whisper;
-    the ONNX-family engines (parakeet/moonshine/gigaam/sensevoice/canary/
-    cohere) load via their JAX ports as they land.
+    the ONNX-family bundles run through executor-backed engines. With a
+    mesh, whisper shards TP over 'model' and every chunk batch DP over
+    'data' (SURVEY §2.8's scaling story, wired into the product path).
     """
     info = model_manager.find(model_id)
     if info is None:
@@ -182,6 +184,8 @@ def load_engine(model_id: str, model_manager: ModelManager) -> EngineProtocol:
             wm = WhisperModel.from_hf(path, name=model_id)
         else:
             wm = WhisperModel.from_ggml(path, name=model_id)
+        if mesh is not None:
+            wm.shard_to(mesh)
 
         class _WhisperEngine(EngineProtocol):
             name = model_id
@@ -437,15 +441,17 @@ class TranscriptionManager:
     """Loaded engine + per-recording state/cancel registry."""
 
     def __init__(self, model_manager: ModelManager, bus: EventBus = BUS,
-                 engine_loader: Callable = None):
+                 engine_loader: Callable = None, mesh=None):
         self.model_manager = model_manager
         self.bus = bus
+        self.mesh = mesh  # optional jax.sharding.Mesh: engines shard to it
         self._engine: Optional[EngineProtocol] = None
         self._current_model_id: Optional[str] = None
         self._states: Dict[str, TranscriptionState] = {}
         self._cancel: Dict[str, threading.Event] = {}
         self._lock = threading.Lock()
-        self._loader = engine_loader or load_engine
+        self._loader = engine_loader or (
+            lambda mid, mm: load_engine(mid, mm, mesh=self.mesh))
 
     # -- model ------------------------------------------------------------------
     def get_current_model(self) -> Optional[str]:

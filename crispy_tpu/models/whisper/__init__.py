@@ -29,6 +29,39 @@ class WhisperModel:
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.name = name
+        self.mesh = None
+
+    # -- multi-chip -------------------------------------------------------------
+    def shard_to(self, mesh) -> "WhisperModel":
+        """Shard for SPMD execution: params tensor-parallel over 'model'
+        (parallel/asr.py specs — XLA inserts the ICI all-reduces), chunk
+        batches data-parallel over 'data' in every transcribe path.
+        This is SURVEY §2.8's TPU equivalent of the reference's serial
+        30 s-chunk loop."""
+        from ...parallel.asr import shard_whisper
+
+        self.params = shard_whisper(self.params, mesh)
+        self.mesh = mesh
+        return self
+
+    def _shard_batch(self, B: int, *arrays):
+        """device_put arrays (leading batch axis) over 'data', padding the
+        batch to a multiple of the dp size. Returns (arrays, orig_B)."""
+        if self.mesh is None:
+            return arrays, B
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = self.mesh.devices.shape[0]
+        Bp = -(-B // dp) * dp
+        out = []
+        for a in arrays:
+            if Bp != B:
+                a = jnp.concatenate([a, jnp.repeat(a[-1:], Bp - B, axis=0)])
+            spec = P("data", *([None] * (a.ndim - 1)))
+            out.append(jax.device_put(a, NamedSharding(self.mesh, spec)))
+        return tuple(out), B
 
     # -- constructors ---------------------------------------------------------
     @staticmethod
@@ -83,6 +116,7 @@ class WhisperModel:
         tok = self.tokenizer
         sot = self._prompt_ids(language, initial_prompt)
         prompt = jnp.asarray(np.tile(np.array(sot, np.int32), (a.shape[0], 1)))
+        (mel, prompt), B0 = self._shard_batch(a.shape[0], mel, prompt)
         if beam > 1:
             tokens, lengths, _ = beam_decode(
                 self.params, self.cfg, mel, prompt, beam=beam,
@@ -92,7 +126,7 @@ class WhisperModel:
                 self.params, self.cfg, mel, prompt, max_new=max_new, eot=tok.eot
             )
         tokens, lengths = np.asarray(tokens), np.asarray(lengths)
-        return [tok.decode(tokens[b, : lengths[b]]) for b in range(a.shape[0])]
+        return [tok.decode(tokens[b, : lengths[b]]) for b in range(B0)]
 
     def transcribe_chunks_robust(
         self,
@@ -132,6 +166,7 @@ class WhisperModel:
         # no-speech prob is read at the SOT position (≠ 0 when an
         # initial_prompt prepends <|startofprev|> context)
         sot_index = jnp.int32(prompt_ids.index(tok.sot) if tok.sot in prompt_ids else 0)
+        (mel, prompt), B = self._shard_batch(B, mel, prompt)
 
         results: List[Optional[str]] = [None] * B
         for t_i, temp in enumerate(temperatures):
@@ -181,6 +216,7 @@ class WhisperModel:
         tok = self.tokenizer
         sot = self._prompt_ids(language, initial_prompt, timestamps=True)
         prompt = jnp.asarray(np.tile(np.array(sot, np.int32), (B, 1)))
+        (mel, prompt), B = self._shard_batch(B, mel, prompt)
         tokens, lengths = greedy_decode(
             self.params, self.cfg, mel, prompt, max_new=max_new, eot=tok.eot
         )
