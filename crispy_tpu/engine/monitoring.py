@@ -115,11 +115,25 @@ class MonitoringEngine:
 
         def run():
             last_level = 0.0
+            last_latency = 0.0
+            lat_max_ms = 0.0
+            budget_s = self.block_samples / dev.rate  # 10 ms at 480/48k
+            # Warm-up outside the real-time loop: the first device step pays
+            # XLA compilation (seconds) — a guaranteed glitch if taken on a
+            # live block. A silent block compiles it; its output is dropped
+            # (the reference drops the warm-up frame anyway, audio.rs:275-278).
+            from .denoiser import RnnNoiseProcessor
+
+            proc0 = ns._proc
+            if isinstance(proc0, RnnNoiseProcessor):
+                proc0.push_block(np.zeros(self.block_samples, np.float32))
             while not self._stop.is_set():
                 block = dev.fn(self.block_samples)
                 if block is None or len(block) == 0:
                     break
-                # per-block NS processing (rnnoise batches on device)
+                # per-block NS processing (rnnoise: one compiled single-frame
+                # device step per 480 samples; legacy: vectorized numpy)
+                t0 = time.monotonic()
                 proc = ns._proc
                 if hasattr(proc, "push_block"):
                     out = proc.push_block(block)
@@ -127,6 +141,7 @@ class MonitoringEngine:
                     outs = [proc.push_sample(float(s)) for s in block]
                     flat = [x for o in outs if o for x in o]
                     out = np.asarray(flat, np.float32) if flat else None
+                lat_max_ms = max(lat_max_ms, (time.monotonic() - t0) * 1e3)
                 if out is not None and self.output_sink is not None:
                     self.output_sink(out)
                 now = time.monotonic()
@@ -134,8 +149,16 @@ class MonitoringEngine:
                     last_level = now
                     rms = float(np.sqrt(np.mean(block.astype(np.float64) ** 2)))
                     self.bus.emit("microphone-level", {"level": rms})
+                if now - last_latency >= 1.0:
+                    # real-time-budget evidence (audio.rs:260-268: the frame
+                    # must process inside its own duration)
+                    last_latency = now
+                    self.bus.emit("stage-timing", {
+                        "stage": "ns-block", "max_ms": round(lat_max_ms, 3),
+                        "budget_ms": round(budget_s * 1e3, 3)})
+                    lat_max_ms = 0.0
                 if self.realtime:
-                    time.sleep(self.block_samples / dev.rate)
+                    time.sleep(budget_s)
 
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
