@@ -274,21 +274,23 @@ def nme_sc(embeddings: np.ndarray, max_speakers: int) -> np.ndarray:
 
 def energy_vad_logits(windows: np.ndarray) -> np.ndarray:
     """Fallback segmentation net: frame-energy VAD shaped like the pyannote
-    powerset output [W, N_SEG_FRAMES, 2] (class 0 = silence logit)."""
-    W = windows.shape[0]
-    idx = FRAME_START + FRAME_STEP * np.arange(N_SEG_FRAMES)
+    powerset output [W, N_SEG_FRAMES, 2] (class 0 = silence logit).
+    Vectorized over windows × frames via a cumulative-energy table."""
+    windows = np.asarray(windows, np.float32)
+    W, T = windows.shape
+    centers = FRAME_START + FRAME_STEP * np.arange(N_SEG_FRAMES)
     half = FRAME_STEP
-    out = np.zeros((W, N_SEG_FRAMES, 2), np.float32)
-    for w in range(W):
-        x = windows[w]
-        for i, c in enumerate(idx):
-            lo, hi = max(0, c - half), min(len(x), c + half)
-            rms = np.sqrt(np.mean(x[lo:hi] ** 2) + 1e-12)
-            # logit margin ~ distance from a -40 dBFS gate
-            margin = 8.0 * (np.log10(rms + 1e-12) + 3.0)
-            out[w, i, 0] = -margin  # silence
-            out[w, i, 1] = margin  # speech
-    return out
+    lo = np.clip(centers - half, 0, T)
+    hi = np.clip(centers + half, 0, T)
+    cs = np.concatenate(
+        [np.zeros((W, 1), np.float64), np.cumsum(windows.astype(np.float64) ** 2, axis=1)],
+        axis=1)  # [W, T+1]
+    sums = cs[:, hi] - cs[:, lo]  # [W, F]
+    counts = np.maximum(hi - lo, 1)[None, :]
+    rms = np.sqrt(sums / counts + 1e-12)
+    # logit margin ~ distance from a -40 dBFS gate
+    margin = (8.0 * (np.log10(rms + 1e-12) + 3.0)).astype(np.float32)
+    return np.stack([-margin, margin], axis=-1)
 
 
 def segment_speech(
@@ -316,13 +318,14 @@ def segment_speech(
     p_sil = e[..., 0] / e.sum(axis=-1)
     labels = (p_sil <= 0.5).astype(np.uint8)  # 1 = speech
 
-    # 11-tap majority filter per window (:167-187).
+    # 11-tap majority filter per window (:167-187), vectorized via cumsum.
     W, F = labels.shape
-    smoothed = np.zeros_like(labels)
-    for i in range(F):
-        lo, hi = max(0, i - 5), min(F, i + 6)
-        seg = labels[:, lo:hi]
-        smoothed[:, i] = (seg.sum(axis=1) > (hi - lo) // 2).astype(np.uint8)
+    idx = np.arange(F)
+    lo = np.maximum(0, idx - 5)
+    hi = np.minimum(F, idx + 6)
+    cs = np.concatenate([np.zeros((W, 1), np.int32),
+                         np.cumsum(labels.astype(np.int32), axis=1)], axis=1)
+    smoothed = ((cs[:, hi] - cs[:, lo]) > (hi - lo)[None, :] // 2).astype(np.uint8)
 
     # Cross-window speech-run tracking (:189-211).
     raw: List[Tuple[int, int]] = []
@@ -379,12 +382,20 @@ def melstats_embedding(segments: List[np.ndarray]) -> np.ndarray:
     """
     from ..dsp.mel import log_mel_spectrogram
 
-    out = []
-    for seg in segments:
-        mel = np.asarray(log_mel_spectrogram(seg.astype(np.float32)))
-        v = np.concatenate([mel.mean(axis=1), mel.std(axis=1)])
-        out.append(v - v.mean())  # center: the shared log-floor baseline
-        # otherwise dominates cosine similarity between any two segments
+    # bucket by length: each distinct segment length is one batched device
+    # call instead of a per-segment loop (and one compilation per shape)
+    buckets = {}
+    for i, seg in enumerate(segments):
+        buckets.setdefault(len(seg), []).append(i)
+    out: List[Optional[np.ndarray]] = [None] * len(segments)
+    for _n, idxs in buckets.items():
+        batch = np.stack([np.asarray(segments[i], np.float32) for i in idxs])
+        mel = np.asarray(log_mel_spectrogram(batch))  # [b, 80, F]
+        v = np.concatenate([mel.mean(axis=2), mel.std(axis=2)], axis=1)
+        v = v - v.mean(axis=1, keepdims=True)  # center: the shared log-floor
+        # baseline otherwise dominates cosine similarity between segments
+        for j, i in enumerate(idxs):
+            out[i] = v[j]
     return np.stack(out).astype(np.float32)
 
 
