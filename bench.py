@@ -46,13 +46,15 @@ def bench_denoise():
 
     S, F = 128, 100  # 128 streams x 1 s per block
     params = jp.make_params(deterministic_test_model())
-    state = jp.init_state(S)
     rng = np.random.default_rng(0)
     block = jnp.asarray(rng.standard_normal((S, F * 480), dtype=np.float32) * 0.3)
+    # _denoise_block_jit donates the state buffer — it MUST be re-threaded
+    # every call (reusing the donated initial state is use-after-free on TPU)
+    carry = [jp.init_state(S)]
     out_box = [None]
 
     def step():
-        st, out, _ = jp._denoise_block_jit(params, state, block)
+        carry[0], out, _ = jp._denoise_block_jit(params, carry[0], block)
         out_box[0] = out
 
     dt = _timeit(step, lambda: float(out_box[0].sum()), reps=3, inner=15)

@@ -94,5 +94,8 @@ def test_sensevoice_engine_requires_prepared_bundle(tmp_path):
 
     mm = ModelManager(models_dir=tmp_path / "Models")
     mm.model_path("sense-voice-int8").mkdir(parents=True)
-    with pytest.raises(NotImplementedError, match="params.npz"):
+    # an empty bundle (no params.npz AND no .onnx) now fails as "missing
+    # files", not NotImplementedError — the ONNX executor path handles the
+    # catalog's real artifacts
+    with pytest.raises(FileNotFoundError):
         load_engine("sense-voice-int8", mm)

@@ -104,7 +104,10 @@ def test_canary_engine_requires_prepared_bundle(tmp_path):
 
     mm = ModelManager(models_dir=tmp_path / "Models")
     mm.model_path("canary-180m-flash").mkdir(parents=True)  # NeMo-style: empty
-    with pytest.raises(NotImplementedError, match="params.npz"):
+    # an empty bundle (no params.npz AND no .onnx) now fails as "missing
+    # files", not NotImplementedError — the ONNX executor path handles the
+    # catalog's real artifacts
+    with pytest.raises(FileNotFoundError):
         load_engine("canary-180m-flash", mm)
 
 
@@ -141,7 +144,10 @@ def test_gigaam_engine_requires_prepared_bundle(tmp_path):
 
     mm = ModelManager(models_dir=tmp_path / "Models")
     mm.model_path("gigaam-v3-e2e-ctc").mkdir(parents=True)
-    with pytest.raises(NotImplementedError, match="params.npz"):
+    # an empty bundle (no params.npz AND no .onnx) now fails as "missing
+    # files", not NotImplementedError — the ONNX executor path handles the
+    # catalog's real artifacts
+    with pytest.raises(FileNotFoundError):
         load_engine("gigaam-v3-e2e-ctc", mm)
 
 
