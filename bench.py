@@ -149,8 +149,7 @@ def bench_concurrent(minutes=4):
     box = [None]
 
     def step():
-        st = jp.init_state(1)
-        _, den, _ = jp._denoise_block_jit(params, st, audio48)
+        den = jp.denoise_batch(np.asarray(audio48), params=params)
         mel = log_mel_spectrogram(audio16, n_mels=m.cfg.n_mels)
         toks, _ = greedy_decode(m.params, m.cfg, mel, prompt, max_new=64, eot=-1)
         box[0] = (den, toks)

@@ -111,6 +111,57 @@ def decode_pieces(pieces: List[str]) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+def load_pieces(path) -> Optional[List[str]]:
+    """Raw token-piece list (for word-boundary grouping), if available."""
+    path = Path(path)
+    spm = next(iter(sorted(path.rglob("*.model"))), None)
+    if spm is not None:
+        try:
+            from ..models.spm import SentencePieceVocab
+
+            return list(SentencePieceVocab.load(spm).pieces)
+        except Exception:
+            pass
+    return load_vocab_file(path)
+
+
+def group_word_segments(ids: List[int], times: List[float], pieces: Optional[List[str]],
+                        end_time: float) -> List[Tuple[float, float, str]]:
+    """Token emissions (id, time) → word segments [(start, end, text)].
+
+    A new word starts at a ▁-prefixed SPM piece (or a leading-space BPE
+    piece); char vocabs split on explicit spaces. The reference's engines
+    return word segments the same way (managers/transcription.rs:196-249);
+    these drive speaker alignment midpoints in diarization.
+    """
+    words: List[Tuple[float, float, str]] = []
+    cur: List[str] = []
+    cur_start = 0.0
+    last_t = 0.0
+
+    def flush(end):
+        text = "".join(cur).replace("▁", "").strip()
+        if text:
+            words.append((cur_start, end, text))
+        cur.clear()
+
+    for tid, tm in zip(ids, times):
+        piece = pieces[tid] if pieces and 0 <= tid < len(pieces) else f"<{tid}>"
+        if not piece or _SPECIAL_RE.match(piece):
+            continue
+        boundary = piece.startswith("▁") or piece.startswith(" ") or piece == " "
+        if boundary and cur:
+            flush(tm)
+        if not cur:
+            cur_start = tm
+        if piece.strip(" ▁") or not boundary:
+            cur.append(piece)
+        last_t = tm
+    if cur:
+        flush(min(end_time, last_t + 0.5))
+    return words
+
+
 def _classify(runner: OnnxRunner) -> Dict[str, list]:
     """Split runtime inputs into float tensors, int tensors, state-like."""
     floats, ints, states, bools = [], [], [], []
@@ -200,6 +251,7 @@ class OnnxCtcEngine:
             raise FileNotFoundError(f"no .onnx in {model_dir}")
         self.runner = OnnxRunner.load(p).validate()
         self.decode_ids, self.vocab_size = load_tokenizer(model_dir)
+        self.pieces = load_pieces(model_dir)
         cls = _classify(self.runner)
         if not cls["float"]:
             raise ValueError("CTC graph has no float feature input")
@@ -247,9 +299,11 @@ class OnnxCtcEngine:
             extra[name] = v
         return extra
 
-    def transcribe_batch(self, chunks_16k: np.ndarray, language: str = "en") -> List[str]:
+    def _emissions(self, chunks_16k: np.ndarray):
+        """Greedy CTC emissions with frame times: per row (ids, times)."""
         a = np.atleast_2d(np.asarray(chunks_16k, np.float32))
         B = a.shape[0]
+        dur = a.shape[1] / 16000.0
         feats = self.frontend(a)
         n_frames = _frame_count(self.kind, a.shape[1])
         logits = np.asarray(self._run(feats, self._extra_inputs(B, n_frames)))
@@ -266,26 +320,38 @@ class OnnxCtcEngine:
         if blank is None:
             # NeMo CTC puts blank last; FunASR puts it at 0. Pick by vocab size.
             blank = V - 1 if self.vocab_size and self.vocab_size < V else 0
+        frame_dur = dur / max(logits.shape[1], 1)
         ids = logits.argmax(axis=-1)  # [B, T]
-        out = []
+        rows = []
         for b in range(B):
-            seq, prev = [], -1
-            for t in ids[b]:
+            seq, times, prev = [], [], -1
+            for f, t in enumerate(ids[b]):
                 t = int(t)
                 if t != prev and t != blank:
                     seq.append(t)
+                    times.append(f * frame_dur)
                 prev = t
-            out.append(self.decode_ids(seq))
-        return out
+            rows.append((seq, times))
+        return rows, dur
+
+    def transcribe_batch(self, chunks_16k: np.ndarray, language: str = "en") -> List[str]:
+        rows, _ = self._emissions(chunks_16k)
+        return [self.decode_ids(seq) for seq, _times in rows]
 
     def transcribe_with_timestamps(self, chunk_16k, offset_seconds):
-        text = self.transcribe_batch(chunk_16k[None, :])[0]
-        dur = len(chunk_16k) / 16000.0
-        return [(offset_seconds, offset_seconds + dur, text)] if text.strip() else []
+        return self.transcribe_batch_with_timestamps(
+            np.atleast_2d(chunk_16k), [offset_seconds])[0]
 
     def transcribe_batch_with_timestamps(self, chunks, offsets):
-        return [self.transcribe_with_timestamps(chunks[j], offsets[j])
-                for j in range(len(chunks))]
+        """Word segments from CTC emission frame times, one batched device
+        run (the reference consumes engine word segments the same way —
+        managers/transcription.rs:196-249)."""
+        rows, dur = self._emissions(chunks)
+        out = []
+        for (seq, times), off in zip(rows, offsets):
+            words = group_word_segments(seq, times, self.pieces, dur)
+            out.append([(s + off, e + off, w) for s, e, w in words])
+        return out
 
 
 def engine_from_onnx_dir(model_id: str, path, **kwargs):
@@ -338,6 +404,7 @@ class OnnxTdtEngine:
         self.enc = OnnxRunner.load(enc_p).validate()
         self.dec = OnnxRunner.load(dec_p).validate()
         self.decode_ids, self.vocab_size = load_tokenizer(model_dir)
+        self.pieces = load_pieces(model_dir)
 
         ecls = _classify(self.enc)
         self.enc_feats_name, _, efs = ecls["float"][0]
@@ -410,9 +477,13 @@ class OnnxTdtEngine:
             states.append(np.zeros(dims, _np_dtype(et)))
         return states
 
-    def transcribe_batch(self, chunks_16k: np.ndarray, language: str = "en") -> List[str]:
+    def _greedy(self, chunks_16k: np.ndarray):
+        """TDT/RNN-T greedy over the chunk batch; returns (tokens, emission
+        times, chunk duration). Emission time = the encoder frame pointer at
+        emission mapped onto the chunk timeline."""
         a = np.atleast_2d(np.asarray(chunks_16k, np.float32))
         B = a.shape[0]
+        chunk_dur = a.shape[1] / 16000.0
         feats = self.frontend(a)
         n_frames = _frame_count(self.kind, a.shape[1])
         extra = {}
@@ -422,10 +493,12 @@ class OnnxTdtEngine:
         if enc.shape[1] < enc.shape[2]:  # [B, D, T'] → [B, T', D]
             enc = enc.swapaxes(1, 2)
         Bq, Tq, D = enc.shape
+        frame_dur = chunk_dur / max(Tq, 1)
         V = self.vocab_size or 1024
         blank = V  # NeMo: blank = vocab_size (last of V+1 token logits)
 
         tokens: List[List[int]] = [[] for _ in range(B)]
+        token_times: List[List[float]] = [[] for _ in range(B)]
         t = np.zeros(B, np.int64)
         last = np.full((B, 1), blank, np.int64)
         states = self._init_states(B)
@@ -450,6 +523,7 @@ class OnnxTdtEngine:
             emit = (tok != blank) & active
             for b in np.nonzero(emit)[0]:
                 tokens[b].append(int(tok[b]))
+                token_times[b].append(float(t[b]) * frame_dur)
             # state/token update only where a symbol was emitted
             states = [np.where(self._state_mask(emit, s.shape), np.asarray(ns), s)
                       for s, ns in zip(states, new_states)]
@@ -463,6 +537,10 @@ class OnnxTdtEngine:
             adv = np.where(syms >= self.MAX_SYMBOLS_PER_FRAME, np.maximum(adv, 1), adv)
             syms = np.where(adv > 0, 0, syms)
             t = t + np.where(active, adv, 0)
+        return tokens, token_times, chunk_dur
+
+    def transcribe_batch(self, chunks_16k: np.ndarray, language: str = "en") -> List[str]:
+        tokens, _times, _dur = self._greedy(chunks_16k)
         return [self.decode_ids(seq) for seq in tokens]
 
     @staticmethod
@@ -478,13 +556,18 @@ class OnnxTdtEngine:
         return emit.reshape(mask_shape)
 
     def transcribe_with_timestamps(self, chunk_16k, offset_seconds):
-        text = self.transcribe_batch(chunk_16k[None, :])[0]
-        dur = len(chunk_16k) / 16000.0
-        return [(offset_seconds, offset_seconds + dur, text)] if text.strip() else []
+        return self.transcribe_batch_with_timestamps(
+            np.atleast_2d(chunk_16k), [offset_seconds])[0]
 
     def transcribe_batch_with_timestamps(self, chunks, offsets):
-        return [self.transcribe_with_timestamps(chunks[j], offsets[j])
-                for j in range(len(chunks))]
+        """Word segments from transducer emission frame pointers (the
+        reference consumes engine word timestamps the same way)."""
+        tokens, times, dur = self._greedy(chunks)
+        out = []
+        for seq, tms, off in zip(tokens, times, offsets):
+            words = group_word_segments(seq, tms, self.pieces, dur)
+            out.append([(s + off, e + off, w) for s, e, w in words])
+        return out
 
 
 # ---------------------------------------------------------------------------
