@@ -118,7 +118,10 @@ def bench_resample_mix(seconds=600):
     box = [None]
 
     def step():
-        mic48 = resample_poly(mic, 44100, 48000)
+        # host path: the recording mixer is a host-side streaming pipeline
+        # (the TPU conv path wins on-host, but this harness reaches the chip
+        # through a network tunnel where the 100 MB transfer dominates)
+        mic48 = resample_poly(mic, 44100, 48000, use_jax=False)
         n = min(mic48.size, app.size)
         mixed = mic48[:n] + app[:n]
         box[0] = np.stack([mixed, mixed], axis=1)  # dual-mono (recording.rs R3)

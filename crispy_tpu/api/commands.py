@@ -110,7 +110,9 @@ class CrispyApp:
         return [{"id": a.id, "name": a.name} for a in rec_mod.get_recordable_apps()]
 
     def start_recording(self, app_id: str = "") -> str:
-        source = None  # OS app capture N/A; virtual sources attach via engine API
+        # registered virtual app sources resolve by id (the bundle_id→PID
+        # analog); unknown/empty ids degrade to mic-only like the reference
+        source = rec_mod.resolve_app_source(app_id)
         return str(rec_mod.do_start_recording(self.recording_state, app_source=source))
 
     def stop_recording(self) -> str:

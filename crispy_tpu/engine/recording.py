@@ -28,7 +28,7 @@ from collections import deque
 from dataclasses import dataclass
 from datetime import datetime
 from pathlib import Path
-from typing import Callable, List, Optional
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -126,6 +126,57 @@ class FileSource(AudioSource):
 class RecordableApp:
     id: str
     name: str
+
+
+def detect_sample_rate(num_samples: int, duration_secs: Optional[float]) -> int:
+    """The reference's one-shot capture-rate detection (recording.rs:324-352):
+    rate = round(samples / buffer duration), snapped to 48 k or 44.1 k within
+    ±200 Hz; anything else (or a missing duration) falls back to 44.1 k."""
+    if not duration_secs or duration_secs <= 0:
+        return 44100
+    computed = int(round(num_samples / duration_secs))
+    if abs(computed - 48000) < 200:
+        return 48000
+    if abs(computed - 44100) < 200:
+        return 44100
+    return 44100
+
+
+def downmix_mono(samples) -> np.ndarray:
+    """CMSampleBuffer downmix semantics (recording.rs:258-318): a (L, R)
+    pair averages channel-wise over the common length; an interleaved
+    [T, C] block averages across channels; mono passes through."""
+    if isinstance(samples, (tuple, list)) and len(samples) == 2:
+        l = np.asarray(samples[0], np.float32).ravel()
+        r = np.asarray(samples[1], np.float32).ravel()
+        n = min(l.size, r.size)
+        return ((l[:n] + r[:n]) * 0.5).astype(np.float32)
+    x = np.asarray(samples, np.float32)
+    if x.ndim == 2:
+        return x.mean(axis=1).astype(np.float32)
+    return x.ravel()
+
+
+class AppCaptureHandler:
+    """R5's AudioHandler analog for pluggable sources: per-delivery downmix,
+    one-shot rate detection from the first buffer's duration, snap, and
+    block resample to 48 kHz before pushing to the sink."""
+
+    def __init__(self, sink: Callable[[np.ndarray], None]):
+        self.sink = sink
+        self.detected_sample_rate: Optional[int] = None
+
+    def deliver(self, samples, duration_secs: Optional[float] = None) -> None:
+        mono = downmix_mono(samples)
+        if mono.size == 0:
+            return
+        if self.detected_sample_rate is None:
+            self.detected_sample_rate = detect_sample_rate(mono.size, duration_secs)
+        if self.detected_sample_rate != SAMPLE_RATE:
+            from ..dsp.resample import resample_block
+
+            mono = resample_block(mono, self.detected_sample_rate, SAMPLE_RATE)
+        self.sink(mono)
 
 
 def _make_ring():
@@ -246,10 +297,34 @@ def is_recording(state: RecordingState) -> bool:
         return state.writer is not None
 
 
+# R7 analog: app-audio sources are pluggable on a TPU host (no
+# ScreenCaptureKit/WASAPI); registered virtual apps enumerate exactly like
+# the reference's SCShareableContent/Toolhelp32 lists, with the mic-only
+# fallback entry always present (recording.rs:136-192).
+_RECORDABLE_SOURCES: Dict[str, Tuple[str, Callable[[], AudioSource]]] = {}
+
+
+def register_recordable_app(app_id: str, name: str,
+                            factory: Callable[[], AudioSource]) -> None:
+    """Register a virtual recordable app (id → AudioSource factory)."""
+    _RECORDABLE_SOURCES[app_id] = (name, factory)
+
+
+def unregister_recordable_app(app_id: str) -> None:
+    _RECORDABLE_SOURCES.pop(app_id, None)
+
+
 def get_recordable_apps() -> List[RecordableApp]:
-    """On a TPU host there is no OS app audio; the mic-only fallback entry is
-    always present (recording.rs:136-192's fallback)."""
-    return [RecordableApp(id="", name="None (Mic only)")]
+    apps = [RecordableApp(id=aid, name=name)
+            for aid, (name, _f) in sorted(_RECORDABLE_SOURCES.items())]
+    return apps + [RecordableApp(id="", name="None (Mic only)")]
+
+
+def resolve_app_source(app_id: str) -> Optional[AudioSource]:
+    """app_id → a fresh AudioSource (the bundle_id→PID resolution analog,
+    commands/recording.rs:52-63); unknown/empty ids mean mic-only."""
+    entry = _RECORDABLE_SOURCES.get(app_id)
+    return entry[1]() if entry else None
 
 
 # ---------------------------------------------------------------------------
