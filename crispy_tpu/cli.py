@@ -109,10 +109,22 @@ def _cmd_models(args) -> int:
         cur = app.get_current_model()
         print(f"\nactive: {cur or '(none)'}  recommended: {app.get_recommended_first_model()}")
     elif args.action == "download":
+        from .api.model_state import ModelStateTracker
+
+        tracker = ModelStateTracker(bus=app.bus)  # F5's state machine + EMA speed
         t = app.download_model(args.model_id)
-        app.bus.listen("model-download-progress",
-                       lambda p: print(f"\r{p['percent']:.1f}%", end="", file=sys.stderr))
+
+        def show(_p):
+            snap = tracker.snapshot()
+            m = snap["models"].get(args.model_id, {})
+            pct = m.get("percent") or 0.0
+            print(f"\r[{snap['status']}] {pct:5.1f}%  {snap['total_speed_mbps']:.2f} MB/s",
+                  end="", file=sys.stderr)
+
+        app.bus.listen("model-download-progress", show)
         t.join()
+        print("", file=sys.stderr)
+        tracker.close()
         print(json.dumps(app.get_model_info(args.model_id)))
     elif args.action == "set":
         app.set_active_model(args.model_id)
