@@ -162,6 +162,29 @@ def group_word_segments(ids: List[int], times: List[float], pieces: Optional[Lis
     return words
 
 
+def _pad_batch(a: np.ndarray, mesh) -> Tuple[np.ndarray, int]:
+    """Pad the chunk batch to a multiple of the mesh's dp size."""
+    B = a.shape[0]
+    if mesh is None:
+        return a, B
+    dp = mesh.devices.shape[0]
+    Bp = -(-B // dp) * dp
+    if Bp != B:
+        a = np.concatenate([a, np.repeat(a[-1:], Bp - B, axis=0)])
+    return a, B
+
+
+def _shard_data(x, mesh):
+    """device_put with the leading axis over 'data' (SPMD over the mesh)."""
+    if mesh is None:
+        return x
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P("data", *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
 def _classify(runner: OnnxRunner) -> Dict[str, list]:
     """Split runtime inputs into float tensors, int tensors, state-like."""
     floats, ints, states, bools = [], [], [], []
@@ -241,10 +264,11 @@ class OnnxCtcEngine:
 
     def __init__(self, model_dir, model_id: str = "onnx-ctc",
                  blank_id: Optional[int] = None, language_id: int = 0,
-                 textnorm_id: int = 15):
+                 textnorm_id: int = 15, mesh=None):
         import jax
 
         self.name = model_id
+        self.mesh = mesh
         model_dir = Path(model_dir)
         p = find_onnx(model_dir, exclude=("decoder", "joint", "preprocess"))
         if p is None:
@@ -300,13 +324,14 @@ class OnnxCtcEngine:
         return extra
 
     def _emissions(self, chunks_16k: np.ndarray):
-        """Greedy CTC emissions with frame times: per row (ids, times)."""
+        """Greedy CTC emissions with frame times: per row (ids, times).
+        With a mesh the chunk batch shards over 'data' (padded to dp)."""
         a = np.atleast_2d(np.asarray(chunks_16k, np.float32))
-        B = a.shape[0]
+        a, B = _pad_batch(a, self.mesh)
         dur = a.shape[1] / 16000.0
-        feats = self.frontend(a)
+        feats = _shard_data(self.frontend(a), self.mesh)
         n_frames = _frame_count(self.kind, a.shape[1])
-        logits = np.asarray(self._run(feats, self._extra_inputs(B, n_frames)))
+        logits = np.asarray(self._run(feats, self._extra_inputs(a.shape[0], n_frames)))[:B]
         # orient to [B, T, V]: the vocab axis is the one sized like the vocab
         if self.vocab_size:
             d1 = abs(logits.shape[1] - self.vocab_size)
@@ -391,10 +416,11 @@ class OnnxTdtEngine:
     name = "onnx-tdt"
     MAX_SYMBOLS_PER_FRAME = 10
 
-    def __init__(self, model_dir, model_id: str = "onnx-tdt"):
+    def __init__(self, model_dir, model_id: str = "onnx-tdt", mesh=None):
         import jax
 
         self.name = model_id
+        self.mesh = mesh
         model_dir = Path(model_dir)
         enc_p = find_onnx(model_dir, "encoder")
         dec_p = find_onnx(model_dir, "decoder", "joint")
@@ -482,16 +508,17 @@ class OnnxTdtEngine:
         times, chunk duration). Emission time = the encoder frame pointer at
         emission mapped onto the chunk timeline."""
         a = np.atleast_2d(np.asarray(chunks_16k, np.float32))
-        B = a.shape[0]
+        a, B = _pad_batch(a, self.mesh)
         chunk_dur = a.shape[1] / 16000.0
-        feats = self.frontend(a)
+        feats = _shard_data(self.frontend(a), self.mesh)
         n_frames = _frame_count(self.kind, a.shape[1])
         extra = {}
         for name, et, shape in self.enc_ints:
-            extra[name] = np.full(B, n_frames, _np_dtype(et))
+            extra[name] = np.full(a.shape[0], n_frames, _np_dtype(et))
         enc = np.asarray(self._encode(feats, extra))
         if enc.shape[1] < enc.shape[2]:  # [B, D, T'] → [B, T', D]
             enc = enc.swapaxes(1, 2)
+        enc = enc[:B]  # drop mesh padding rows; the host loop runs B rows
         Bq, Tq, D = enc.shape
         frame_dur = chunk_dur / max(Tq, 1)
         V = self.vocab_size or 1024

@@ -303,7 +303,7 @@ def load_engine(model_id: str, model_manager: ModelManager,
         # the executor
         from .onnx_engines import OnnxTdtEngine
 
-        return OnnxTdtEngine(path, model_id)
+        return OnnxTdtEngine(path, model_id, mesh=mesh)
     if info.engine_type == "canary":
         import json
 
@@ -361,7 +361,7 @@ def load_engine(model_id: str, model_manager: ModelManager,
             # executor
             from .onnx_engines import OnnxCtcEngine
 
-            return OnnxCtcEngine(path, model_id)
+            return OnnxCtcEngine(path, model_id, mesh=mesh)
         raw = json.loads((path / "config.json").read_text())
         cfg = pk.ParakeetConfig(**raw.get("encoder", {}))
         labels = raw["labels"]  # id → string; blank is cfg.blank_id
@@ -394,7 +394,7 @@ def load_engine(model_id: str, model_manager: ModelManager,
             # id 0, FunASR convention) over the executor
             from .onnx_engines import OnnxCtcEngine
 
-            return OnnxCtcEngine(path, model_id, blank_id=0)
+            return OnnxCtcEngine(path, model_id, blank_id=0, mesh=mesh)
         raw = json.loads((path / "config.json").read_text())
         cfg = (sv.CONFIGS[raw["config"]] if "config" in raw
                else sv.SenseVoiceConfig(**{k: v for k, v in raw.items()

@@ -119,6 +119,23 @@ def test_denoise_batch_sharded_matches_unsharded():
     assert np.corrcoef(got.reshape(-1), want.reshape(-1))[0, 1] > 0.99999
 
 
+def test_onnx_ctc_engine_sharded_matches_unsharded(tmp_path):
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_onnx_engines import make_gigaam_bundle
+
+    from crispy_tpu.engine.onnx_engines import OnnxCtcEngine
+
+    d = make_gigaam_bundle(tmp_path)
+    mesh = parallel.make_mesh(8)
+    chunks = (np.random.default_rng(2).standard_normal((3, 16000)) * 0.3
+              ).astype(np.float32)  # B=3 pads to dp
+    plain = OnnxCtcEngine(d, "g").transcribe_batch(chunks)
+    sharded = OnnxCtcEngine(d, "g", mesh=mesh).transcribe_batch(chunks)
+    assert sharded == plain
+
+
 def test_app_auto_mesh(data_root, monkeypatch):
     from crispy_tpu.api.commands import CrispyApp
 
