@@ -57,6 +57,9 @@ class CrispyApp:
             self.model_manager, bus=self.bus, mesh=mesh)
         self.monitoring = mon_mod.MonitoringEngine(bus=self.bus)
         self.recording_state = rec_mod.RecordingState()
+        from .window import WindowManager
+
+        self.windows = WindowManager(bus=self.bus)
         self._main_window_visible = True
         self._quit_requested = False
         self._autostart = False
@@ -142,6 +145,7 @@ class CrispyApp:
     # -- window ------------------------------------------------------------------
     def show_main_window_cmd(self) -> None:
         self._main_window_visible = True
+        self.windows.show_main()
 
     def quit_app(self) -> None:
         self._quit_requested = True
