@@ -434,7 +434,22 @@ class OnnxTdtEngine:
 
         ecls = _classify(self.enc)
         self.enc_feats_name, _, efs = ecls["float"][0]
-        self.frontend, self.kind = _pick_frontend(efs)
+        # moonshine-style bundles ship a preprocess graph (raw waveform →
+        # features); when present it IS the frontend
+        pre_p = find_onnx(model_dir, "preprocess")
+        if pre_p is not None:
+            pre_runner = OnnxRunner.load(pre_p).validate()
+            pre_in = pre_runner.input_info()[0]
+
+            @jax.jit
+            def pre_fn(a):
+                x = a if (pre_in[2] and len(pre_in[2]) == 2) else a[:, None, :]
+                out = pre_runner(**{pre_in[0]: x})
+                return out[pre_runner.output_names[0]]
+
+            self.frontend, self.kind = pre_fn, "waveform"
+        else:
+            self.frontend, self.kind = _pick_frontend(efs)
         self.enc_ints = ecls["int"]
 
         dcls = _classify(self.dec)
@@ -615,13 +630,15 @@ class OnnxEncDecEngine:
 
     def __init__(self, model_dir, model_id: str = "onnx-encdec",
                  max_new: int = 224, prompt_tokens: Optional[List[str]] = None,
-                 eos_tokens: Sequence[str] = ("</s>", "<|endoftext|>", "<eos>")):
+                 eos_tokens: Sequence[str] = ("</s>", "<|endoftext|>", "<eos>"),
+                 mesh=None):
         import jax
 
         self.name = model_id
         self.max_new = max_new
+        self.mesh = mesh
         model_dir = Path(model_dir)
-        enc_p = find_onnx(model_dir, "encoder", "encode")
+        enc_p = find_onnx(model_dir, "encoder", "encode", exclude=("preprocess",))
         # prefer an uncached/merged decoder export over a cached-only one
         dec_p = (find_onnx(model_dir, "uncached", exclude=("joint",))
                  or find_onnx(model_dir, "merged", exclude=("joint",))
@@ -636,7 +653,22 @@ class OnnxEncDecEngine:
 
         ecls = _classify(self.enc)
         self.enc_feats_name, _, efs = ecls["float"][0]
-        self.frontend, self.kind = _pick_frontend(efs)
+        # moonshine-style bundles ship a preprocess graph (raw waveform →
+        # features); when present it IS the frontend
+        pre_p = find_onnx(model_dir, "preprocess")
+        if pre_p is not None:
+            pre_runner = OnnxRunner.load(pre_p).validate()
+            pre_in = pre_runner.input_info()[0]
+
+            @jax.jit
+            def pre_fn(a):
+                x = a if (pre_in[2] and len(pre_in[2]) == 2) else a[:, None, :]
+                out = pre_runner(**{pre_in[0]: x})
+                return out[pre_runner.output_names[0]]
+
+            self.frontend, self.kind = pre_fn, "waveform"
+        else:
+            self.frontend, self.kind = _pick_frontend(efs)
         self.enc_ints = ecls["int"]
 
         dcls = _classify(self.dec)
@@ -657,6 +689,7 @@ class OnnxEncDecEngine:
 
         self.prompt_ids = self._resolve_prompt(prompt_tokens)
         self.eos_id = self._resolve_eos(eos_tokens)
+        self._fixed_prompt = prompt_tokens is not None
 
         enc_runner, dec_runner = self.enc, self.dec
 
@@ -743,19 +776,31 @@ class OnnxEncDecEngine:
             extra[name] = np.array(False)  # use_cache_branch = False
         return extra
 
+    def prompt_for_language(self, language: str) -> List[int]:
+        """Swap <|lang|> slots in the canary-style prompt when the vocab has
+        the requested language token (source AND target positions)."""
+        if self._fixed_prompt or language == "en" or not self.vocab_list:
+            return self.prompt_ids
+        en = self._find_token(["<|en|>"])
+        lang = self._find_token([f"<|{language}|>"])
+        if en is None or lang is None:
+            return self.prompt_ids
+        return [lang if t == en else t for t in self.prompt_ids]
+
     def transcribe_batch(self, chunks_16k: np.ndarray, language: str = "en") -> List[str]:
         a = np.atleast_2d(np.asarray(chunks_16k, np.float32))
-        B = a.shape[0]
-        feats = self.frontend(a)
+        a, B = _pad_batch(a, self.mesh)
+        feats = _shard_data(self.frontend(a), self.mesh)
         n_frames = _frame_count(self.kind, a.shape[1])
-        extra = {name: np.full(B, n_frames, _np_dtype(et))
+        extra = {name: np.full(a.shape[0], n_frames, _np_dtype(et))
                  for name, et, _ in self.enc_ints}
-        enc_out = self._encode(feats, extra)
+        enc_out = np.asarray(self._encode(feats, extra))[:B]
 
-        P = len(self.prompt_ids)
+        prompt_ids = self.prompt_for_language(language)
+        P = len(prompt_ids)
         S = P + self.max_new
         tokens = np.zeros((B, S), np.int64)
-        tokens[:, :P] = self.prompt_ids
+        tokens[:, :P] = prompt_ids
         done = np.zeros(B, bool)
         state_extra = self._zero_states(B)
         dec_int_extra = {}

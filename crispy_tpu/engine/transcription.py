@@ -320,7 +320,7 @@ def load_engine(model_id: str, model_manager: ModelManager,
             # the executor
             from .onnx_engines import OnnxEncDecEngine
 
-            return OnnxEncDecEngine(path, model_id)
+            return OnnxEncDecEngine(path, model_id, mesh=mesh)
         raw = json.loads((path / "config.json").read_text())
         prompt_ids = raw.pop("prompt_ids", None)
         if "config" in raw:

@@ -207,6 +207,71 @@ def make_canary_bundle(d, V=16, D=6, E=5, seed=6):
     return d
 
 
+def make_moonshine_bundle(d, V=12, D=6, seed=8):
+    """UsefulSensors-style layout: preprocess.onnx (waveform → features) +
+    encode.onnx + uncached_decode.onnx + tokenizer vocab."""
+    rng = np.random.default_rng(seed)
+    conv_w = (rng.standard_normal((D, 1, 127)) * 0.2).astype(np.float32)
+    ob.write_model(d / "preprocess.onnx", [
+        ob.node("Conv", ["args_0", "conv_w"], ["features"], strides=[64],
+                kernel_shape=[127], pads=[0, 0]),
+        ob.node("Transpose", ["features"], ["out"], perm=[0, 2, 1]),
+    ], [("args_0", F32, [None, 1, None])], [("out", F32, [None, None, D])],
+        {"conv_w": conv_w})
+    enc_w = (rng.standard_normal((D, D)) * 0.4).astype(np.float32)
+    ob.write_model(d / "encode.onnx", [
+        ob.node("MatMul", ["features", "enc_w"], ["enc"]),
+    ], [("features", F32, [None, None, D])], [("enc", F32, [None, None, D])],
+        {"enc_w": enc_w})
+    emb = (rng.standard_normal((V, D)) * 0.7).astype(np.float32)
+    out_w = rng.standard_normal((D, V)).astype(np.float32)
+    ob.write_model(d / "uncached_decode.onnx", [
+        ob.node("Gather", ["emb", "input_ids"], ["te"], axis=0),
+        ob.node("CumSum", ["te", "one"], ["causal"]),
+        ob.node("ReduceMean", ["enc", "t_ax"], ["ctx"], keepdims=1),
+        ob.node("Add", ["causal", "ctx"], ["h"]),
+        ob.node("MatMul", ["h", "out_w"], ["logits"]),
+    ], [("input_ids", I32, [None, None]), ("enc", F32, [None, None, D])],
+        [("logits", F32, [None, None, V])],
+        {"emb": emb, "out_w": out_w, "one": np.array(1, np.int64),
+         "t_ax": np.array([1], np.int64)})
+    write_vocab(d, ["<pad>", "<s>", "</s>"] + [f"▁m{i}" for i in range(V - 3)])
+    return d
+
+
+def test_encdec_engine_moonshine_preprocess_layout(tmp_path):
+    from crispy_tpu.engine.onnx_engines import OnnxEncDecEngine, engine_from_onnx_dir
+
+    d = make_moonshine_bundle(tmp_path)
+    eng = engine_from_onnx_dir("moonshine-test", d, max_new=8)
+    assert isinstance(eng, OnnxEncDecEngine)
+    assert eng.kind == "waveform"  # preprocess graph is the frontend
+    chunks = (np.random.default_rng(9).standard_normal((2, 16000)) * 0.3
+              ).astype(np.float32)
+    texts = eng.transcribe_batch(chunks)
+    assert len(texts) == 2
+    assert texts == eng.transcribe_batch(chunks)
+
+
+def test_encdec_language_prompt_substitution(tmp_path):
+    from crispy_tpu.engine.onnx_engines import OnnxEncDecEngine
+
+    d = make_canary_bundle(tmp_path)
+    # add a german token to the vocab
+    vocab = (d / "vocab.txt").read_text().splitlines()
+    vocab.append("<|de|>")
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    eng = OnnxEncDecEngine(d, "canary-test", max_new=4)
+    en_prompt = eng.prompt_for_language("en")
+    de_prompt = eng.prompt_for_language("de")
+    de_id = vocab.index("<|de|>")
+    en_id = vocab.index("<|en|>")
+    assert en_prompt.count(en_id) == 2
+    assert de_prompt.count(de_id) == 2 and en_id not in de_prompt
+    # unknown language: unchanged
+    assert eng.prompt_for_language("xx") == en_prompt
+
+
 def test_encdec_engine_canary_prompt_and_decode(tmp_path):
     from crispy_tpu.engine.onnx_engines import OnnxEncDecEngine
 
