@@ -518,10 +518,19 @@ class OnnxTdtEngine:
             states.append(np.zeros(dims, _np_dtype(et)))
         return states
 
+    MAX_TOKENS = 512  # emission cap per chunk (≈4 tokens/s at 30 s is ~120)
+
     def _greedy(self, chunks_16k: np.ndarray):
         """TDT/RNN-T greedy over the chunk batch; returns (tokens, emission
         times, chunk duration). Emission time = the encoder frame pointer at
-        emission mapped onto the chunk timeline."""
+        emission mapped onto the chunk timeline.
+
+        The whole decode is ONE lax.while_loop on device (time advances by
+        the predicted duration; the prediction net advances on emission) —
+        no per-frame host round trips; tokens come back in one transfer.
+        """
+        import jax.numpy as jnp
+
         a = np.atleast_2d(np.asarray(chunks_16k, np.float32))
         a, B = _pad_batch(a, self.mesh)
         chunk_dur = a.shape[1] / 16000.0
@@ -533,53 +542,86 @@ class OnnxTdtEngine:
         enc = np.asarray(self._encode(feats, extra))
         if enc.shape[1] < enc.shape[2]:  # [B, D, T'] → [B, T', D]
             enc = enc.swapaxes(1, 2)
-        enc = enc[:B]  # drop mesh padding rows; the host loop runs B rows
+        enc = enc[:B]
         Bq, Tq, D = enc.shape
         frame_dur = chunk_dur / max(Tq, 1)
         V = self.vocab_size or 1024
         blank = V  # NeMo: blank = vocab_size (last of V+1 token logits)
 
-        tokens: List[List[int]] = [[] for _ in range(B)]
-        token_times: List[List[float]] = [[] for _ in range(B)]
-        t = np.zeros(B, np.int64)
-        last = np.full((B, 1), blank, np.int64)
-        states = self._init_states(B)
-        syms = np.zeros(B, np.int64)
-        n_dur = None
-        durations = None
-        while True:
-            active = t < Tq
-            if not active.any():
-                break
-            frames = enc[np.arange(B), np.clip(t, 0, Tq - 1)]  # [B, D]
-            logits, new_states = self._joint(frames, last, states, {})
-            logits = np.asarray(logits)
-            if n_dur is None:
-                n_dur = max(logits.shape[1] - (V + 1), 0)
-                durations = np.arange(max(n_dur, 1))
-            tok = logits[:, : V + 1].argmax(axis=-1)
-            if n_dur > 0:
-                dur = durations[logits[:, V + 1:].argmax(axis=-1)]
-            else:
-                dur = np.zeros(B, np.int64)
-            emit = (tok != blank) & active
-            for b in np.nonzero(emit)[0]:
-                tokens[b].append(int(tok[b]))
-                token_times[b].append(float(t[b]) * frame_dur)
-            # state/token update only where a symbol was emitted
-            states = [np.where(self._state_mask(emit, s.shape), np.asarray(ns), s)
-                      for s, ns in zip(states, new_states)]
-            last = np.where(emit[:, None], tok[:, None], last)
-            syms = np.where(emit, syms + 1, syms)
-            if n_dur > 0:
-                adv = np.where(active, dur, 0)
-                adv = np.where((tok == blank) & (dur == 0), 1, adv)  # no stall
-            else:
-                adv = np.where(emit, 0, 1)  # RNN-T: advance on blank only
-            adv = np.where(syms >= self.MAX_SYMBOLS_PER_FRAME, np.maximum(adv, 1), adv)
-            syms = np.where(adv > 0, 0, syms)
-            t = t + np.where(active, adv, 0)
+        if not hasattr(self, "_n_dur"):
+            # one probe call pins the joint's duration-head count
+            lg, _ = self._joint(jnp.zeros((B, D), jnp.float32),
+                                np.full((B, 1), blank, np.int32),
+                                self._init_states(B), {})
+            self._n_dur = max(int(np.asarray(lg).shape[1]) - (V + 1), 0)
+            self._decode_fn = self._build_decode_fn(V, blank, self._n_dur)
+
+        states0 = tuple(jnp.asarray(s) for s in self._init_states(B))
+        toks, times_idx, n = self._decode_fn(jnp.asarray(enc), states0)
+        toks, times_idx, n = np.asarray(toks), np.asarray(times_idx), np.asarray(n)
+        tokens = [toks[b, : n[b]].tolist() for b in range(B)]
+        token_times = [(times_idx[b, : n[b]] * frame_dur).tolist() for b in range(B)]
         return tokens, token_times, chunk_dur
+
+    def _build_decode_fn(self, V: int, blank: int, n_dur: int):
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        joint = self._joint
+        U = self.MAX_TOKENS
+        MAXSYM = self.MAX_SYMBOLS_PER_FRAME
+
+        def decode(enc, states0):
+            B, Tq, D = enc.shape
+            rows = jnp.arange(B)
+
+            def cond(st):
+                i, t, last, states, toks, times, n, syms = st
+                return jnp.logical_and(i < Tq * MAXSYM + U, jnp.any(t < Tq))
+
+            def body(st):
+                i, t, last, states, toks, times, n, syms = st
+                tc = jnp.minimum(t, Tq - 1)
+                frames = jnp.take_along_axis(enc, tc[:, None, None], axis=1)[:, 0]
+                logits, new_states = joint(frames, last, list(states), {})
+                tok = jnp.argmax(logits[:, : V + 1], axis=-1).astype(jnp.int32)
+                if n_dur > 0:
+                    dur = jnp.argmax(logits[:, V + 1:], axis=-1).astype(jnp.int32)
+                else:
+                    dur = jnp.zeros_like(tok)
+                active = t < Tq
+                emit = active & (tok != blank)
+                states = tuple(
+                    jnp.where(self._state_mask(emit, s.shape), ns, s)
+                    for s, ns in zip(states, new_states))
+                idx = jnp.minimum(n, U - 1)
+                toks = toks.at[rows, idx].set(jnp.where(emit, tok, toks[rows, idx]))
+                times = times.at[rows, idx].set(jnp.where(emit, t, times[rows, idx]))
+                n = jnp.minimum(n + emit.astype(jnp.int32), U)
+                last = jnp.where(emit[:, None], tok[:, None], last)
+                syms = jnp.where(emit, syms + 1, syms)
+                if n_dur > 0:
+                    adv = jnp.where(active, dur, 0)
+                    adv = jnp.where((tok == blank) & (dur == 0), 1, adv)  # no stall
+                else:
+                    adv = jnp.where(emit, 0, 1)  # RNN-T: advance on blank only
+                adv = jnp.where(syms >= MAXSYM, jnp.maximum(adv, 1), adv)
+                syms = jnp.where(adv > 0, 0, syms)
+                t = t + jnp.where(active, adv, 0)
+                return i + 1, t, last, states, toks, times, n, syms
+
+            init = (
+                jnp.int32(0), jnp.zeros(B, jnp.int32),
+                jnp.full((B, 1), blank, jnp.int32), states0,
+                jnp.full((B, U), blank, jnp.int32),
+                jnp.zeros((B, U), jnp.int32),
+                jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
+            )
+            _, _, _, _, toks, times, n, _ = lax.while_loop(cond, body, init)
+            return toks, times, n
+
+        return jax.jit(decode)
 
     def transcribe_batch(self, chunks_16k: np.ndarray, language: str = "en") -> List[str]:
         tokens, _times, _dur = self._greedy(chunks_16k)
