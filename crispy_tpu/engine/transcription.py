@@ -575,23 +575,30 @@ def run_transcription(
             from ..utils.tracing import stage as _stage
 
             batch = chunks[b0: b0 + batch_chunks]
+            n_live = batch.shape[0]
+            if n_live < batch_chunks and n_chunks > batch_chunks:
+                # Pad the tail batch to the fixed shape: a smaller B would
+                # trigger a fresh multi-second XLA compile for one batch.
+                batch = np.concatenate(
+                    [batch, np.zeros((batch_chunks - n_live, CHUNK_SAMPLES),
+                                     np.float32)])
             if diarization and diarization.get("enabled"):
                 # timestamped segments for speaker alignment (:272-280),
                 # decoded for the whole batch in one compiled call
                 offsets = [(b0 + j) * TRANSCRIBE_CHUNK_SECONDS
                            for j in range(batch.shape[0])]
                 with _stage("transcribe-batch-timestamps", tm.bus,
-                            {"chunks": int(batch.shape[0])}):
+                            {"chunks": n_live}):
                     seg_lists = tm.engine.transcribe_batch_with_timestamps(batch, offsets)
-                for segs in seg_lists:
+                for segs in seg_lists[:n_live]:
                     for s, e, text in segs:
                         if text.strip():
                             parts.append((s, min(e, total_seconds), text))
-                texts = [""] * batch.shape[0]
+                texts = [""] * n_live
             else:
                 with _stage("transcribe-batch", tm.bus,
-                            {"chunks": int(batch.shape[0])}):
-                    texts = tm.engine.transcribe_batch(batch, language=language)
+                            {"chunks": n_live}):
+                    texts = tm.engine.transcribe_batch(batch, language=language)[:n_live]
                 for j, text in enumerate(texts):
                     cs = (b0 + j) * TRANSCRIBE_CHUNK_SECONDS
                     if text.strip():

@@ -95,6 +95,16 @@ class TestPipeline:
         st = tm.get_state(str(wav))
         assert st.status == "completed" and st.progress == 1.0
 
+    def test_tail_batch_padded_to_fixed_shape(self, setup):
+        """A partial final batch pads to batch_chunks so the engine sees ONE
+        shape (no fresh XLA compile for the tail); pad rows are discarded."""
+        tm, bus, engine, tmp = setup
+        wav = make_wav(tmp / "tail.wav", seconds=65.0, sr=16000)  # 3 chunks
+        text = tr.run_transcription(str(wav), tm, "fake-model", batch_chunks=2)
+        assert engine.calls == [(2, tr.CHUNK_SAMPLES), (2, tr.CHUNK_SAMPLES)]
+        # exactly 3 chunk texts survive (the 4th padded row is dropped)
+        assert len([w for w in text.split() if w.startswith("chunk")]) == 3
+
     def test_eta_emitted(self, setup):
         tm, bus, engine, tmp = setup
         engine.delay = 0.05
