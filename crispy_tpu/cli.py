@@ -131,6 +131,33 @@ def _cmd_models(args) -> int:
         print(json.dumps({"active": args.model_id}))
     elif args.action == "delete":
         print(json.dumps({"deleted": app.delete_model(args.model_id)}))
+    elif args.action == "inspect":
+        # bundle debugging: file inventory + ONNX graph I/O + op histogram
+        from collections import Counter
+
+        from .engine.onnx_engines import find_onnx
+        from .models.onnx_exec import load_onnx_graph
+
+        path = app.model_manager.model_path(args.model_id)
+        info = {"model_id": args.model_id, "path": str(path),
+                "downloaded": app.model_manager.is_downloaded(args.model_id),
+                "files": [], "graphs": {}}
+        if path and path.is_dir():
+            info["files"] = sorted(str(f.relative_to(path))
+                                   for f in path.rglob("*") if f.is_file())
+            for onnx in sorted(path.rglob("*.onnx")):
+                g = load_onnx_graph(onnx)
+                ops = Counter(n.op_type for n in g.nodes)
+                info["graphs"][onnx.name] = {
+                    "inputs": [{"name": n, "elem_type": t, "shape": sh}
+                               for n, t, sh in g.inputs if n not in g.initializers],
+                    "outputs": g.outputs,
+                    "initializers": len(g.initializers),
+                    "ops": dict(ops.most_common()),
+                }
+        elif path and path.is_file():
+            info["files"] = [path.name]
+        print(json.dumps(info, indent=2))
     return 0
 
 
@@ -198,7 +225,7 @@ def main(argv=None) -> int:
     t.set_defaults(fn=_cmd_transcribe)
 
     m = sub.add_parser("models", help="model catalog / downloads / selection")
-    m.add_argument("action", choices=["list", "download", "set", "delete"])
+    m.add_argument("action", choices=["list", "download", "set", "delete", "inspect"])
     m.add_argument("model_id", nargs="?")
     m.set_defaults(fn=_cmd_models)
 
