@@ -530,6 +530,16 @@ def _pitch_index(params, state, ext: jnp.ndarray, F: int):
         pg = jnp.sum(sel * pg_f, axis=-1)
         return (T_out, pg), T_out
 
+    if _use_matmul_dft():
+        # Fused Pallas scan: the lax.scan version dispatches F tiny steps
+        # (~8.6 ms/block at F=100 — half the whole block step); the kernel
+        # runs the recurrence in VMEM in one pallas_call. Bit-exact.
+        from .pallas_rnn import rd_scan_pallas
+
+        pitch_f, lp_f, lg = rd_scan_pallas(
+            packed, state["last_period"].astype(jnp.float32), state["last_gain"])
+        return pitch_f.astype(jnp.int32), lp_f.astype(jnp.int32), lg
+
     (lp, lg), pitch_idx = lax.scan(
         rd_step,
         (state["last_period"].astype(jnp.float32), state["last_gain"]),

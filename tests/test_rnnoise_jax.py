@@ -117,6 +117,63 @@ class TestBlockParity:
         assert np.array_equal(got, np.array(want)), f"{got} vs {want}"
 
 
+class TestPallasRdScan:
+    def test_fused_rd_kernel_matches_xla_scan(self, model, params):
+        """rd_scan_pallas (interpret mode) reproduces the rd_step lax.scan
+        bit-exactly: same continuation thresholds, candidate selection and
+        (period, gain) carry."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        from crispy_tpu.dsp.rnnoise.pallas_rnn import rd_scan_pallas
+
+        rng = np.random.default_rng(3)
+        S, F = 3, 11  # not a multiple of the stream block
+        T1 = rng.integers(20, 380, (S, F, 14)).astype(np.float32)
+        g1 = rng.random((S, F, 14)).astype(np.float32)
+        valid = (rng.random((S, F, 14)) > 0.3).astype(np.float32)
+        g0 = rng.random((S, F)).astype(np.float32)
+        T0 = rng.integers(30, 384, (S, F)).astype(np.float32)
+        Tout = rng.integers(60, 768, (S, F, 15)).astype(np.float32)
+        pg = rng.random((S, F, 15)).astype(np.float32)
+        packed = jnp.asarray(np.concatenate(
+            [T1, g1, valid, g0[..., None], T0[..., None], Tout, pg], axis=-1))
+        lp0 = jnp.asarray(rng.integers(60, 768, S).astype(np.float32))
+        lg0 = jnp.asarray(rng.random(S).astype(np.float32))
+
+        ksf = jnp.arange(2, 16, dtype=jnp.float32)
+
+        def rd_step(carry, inp):  # the exact jax_pipeline step
+            prev_T, prev_g = carry
+            T1_f, g1_f = inp[:, 0:14], inp[:, 14:28]
+            valid_f = inp[:, 28:42] > 0.5
+            g0_f, T0_f = inp[:, 42], inp[:, 43]
+            Tout_f, pg_f = inp[:, 44:59], inp[:, 59:74]
+            pph = jnp.floor(prev_T * 0.5)
+            dT = jnp.abs(T1_f - pph[:, None])
+            cont = jnp.where(dT <= 1, prev_g[:, None],
+                             jnp.where((dT <= 2) & (5.0 * ksf * ksf < T0_f[:, None]),
+                                       0.5 * prev_g[:, None], 0.0))
+            thresh = jnp.maximum(0.3, 0.7 * g0_f[:, None] - cont)
+            thresh = jnp.where(
+                T1_f < 90.0, jnp.maximum(0.4, 0.85 * g0_f[:, None] - cont),
+                jnp.where(T1_f < 60.0, jnp.maximum(0.5, 0.9 * g0_f[:, None] - cont),
+                          thresh))
+            choose = valid_f & (g1_f > thresh)
+            kidx = jnp.max(jnp.where(choose, jnp.arange(14), -1), axis=-1)
+            sel = jax.nn.one_hot(kidx + 1, 15, dtype=jnp.float32)
+            T_out = jnp.sum(sel * Tout_f, axis=-1)
+            return (T_out, jnp.sum(sel * pg_f, axis=-1)), T_out
+
+        (lp, lg), pitch = lax.scan(rd_step, (lp0, lg0), jnp.moveaxis(packed, 1, 0))
+        pitch = jnp.moveaxis(pitch, 0, 1)
+        p2, lp2, lg2 = rd_scan_pallas(packed, lp0, lg0, interpret=True)
+        np.testing.assert_array_equal(np.asarray(pitch), np.asarray(p2))
+        np.testing.assert_array_equal(np.asarray(lp), np.asarray(lp2))
+        np.testing.assert_array_equal(np.asarray(lg), np.asarray(lg2))
+
+
 class TestPallasNnScan:
     def test_fused_kernel_matches_xla_scan(self, model, params):
         """pallas_rnn (interpret mode on CPU) == _nn_scan bit-near-exactly,
