@@ -422,6 +422,56 @@ def _erf(node, a):
     return jax.scipy.special.erf(a)
 
 
+@op("Sin")
+def _sin(node, a):
+    return _jnp().sin(a)
+
+
+@op("Cos")
+def _cos_(node, a):
+    return _jnp().cos(a)
+
+
+@op("Atan")
+def _atan(node, a):
+    return _jnp().arctan(a)
+
+
+@op("Sign")
+def _sign(node, a):
+    return _jnp().sign(a)
+
+
+@op("Mod")
+def _mod(node, a, b):
+    jnp = _jnp()
+    if node.attrs.get("fmod", 0):
+        return jnp.fmod(a, b)
+    return jnp.mod(a, b)
+
+
+@op("Trilu")
+def _trilu(node, x, k=None):
+    jnp = _jnp()
+    kk = int(np.asarray(_static(k, "Trilu k")).item()) if k is not None else 0
+    if node.attrs.get("upper", 1):
+        return jnp.triu(x, kk)
+    return jnp.tril(x, kk)
+
+
+@op("GatherND")
+def _gathernd(node, data, indices):
+    jnp = _jnp()
+    if node.attrs.get("batch_dims", 0):
+        raise NotImplementedError("GatherND batch_dims")
+    d = jnp.asarray(data)
+    idx = jnp.asarray(indices)
+    k = idx.shape[-1]
+    flat_idx = idx.reshape(-1, k)
+    out = d[tuple(flat_idx[:, i] for i in range(k))]
+    return out.reshape(idx.shape[:-1] + d.shape[k:])
+
+
 @op("Tanh")
 def _tanh(node, a):
     return _jnp().tanh(a)

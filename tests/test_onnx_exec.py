@@ -270,6 +270,30 @@ def test_slice_pad_where_reduce(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_trig_mod_trilu_gathernd(tmp_path):
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((3, 4)).astype(np.float32)
+    r = build(tmp_path, [
+        ob.node("Sin", ["x"], ["s"]),
+        ob.node("Cos", ["x"], ["c"]),
+        ob.node("Sign", ["x"], ["sg"]),
+        ob.node("Mod", ["x", "two"], ["m"], fmod=1),
+        ob.node("Trilu", ["x"], ["tu"], upper=1),
+        ob.node("GatherND", ["x", "idx"], ["gn"]),
+    ], [("x", F32, [3, 4])],
+        [("s", F32, None), ("c", F32, None), ("sg", F32, None),
+         ("m", F32, None), ("tu", F32, None), ("gn", F32, None)],
+        {"two": np.float32(2.0),
+         "idx": np.array([[0, 1], [2, 3]], np.int64)})
+    out = r(x=x)
+    np.testing.assert_allclose(np.asarray(out["s"]), np.sin(x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["c"]), np.cos(x), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out["sg"]), np.sign(x))
+    np.testing.assert_allclose(np.asarray(out["m"]), np.fmod(x, 2.0), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out["tu"]), np.triu(x))
+    np.testing.assert_array_equal(np.asarray(out["gn"]), x[[0, 2], [1, 3]])
+
+
 def test_unsupported_op_raises_clearly(tmp_path):
     r = build(tmp_path, [ob.node("SomeCustomOp", ["x"], ["y"])],
               [("x", F32, [1])], [("y", F32, [1])])
