@@ -178,6 +178,13 @@ class AppCaptureHandler:
             mono = resample_block(mono, self.detected_sample_rate, SAMPLE_RATE)
         self.sink(mono)
 
+    def deliver_silence(self, duration_secs: float) -> None:
+        """WASAPI silent-packet zero-fill (windows_audio.rs capture loop:
+        AUDCLNT_BUFFERFLAGS_SILENT packets still advance the timeline)."""
+        n = int(round(duration_secs * SAMPLE_RATE))
+        if n > 0:
+            self.sink(np.zeros(n, np.float32))
+
 
 def _make_ring():
     """Native C++ ring when the runtime builds; Python deque otherwise."""

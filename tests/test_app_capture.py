@@ -58,6 +58,14 @@ class TestAppCaptureHandler:
         assert h.detected_sample_rate == 48000
         assert got[0].size == 4800
 
+    def test_silent_packet_zero_fill(self):
+        """WASAPI silent packets advance the timeline with zeros (R6)."""
+        got = []
+        h = rec.AppCaptureHandler(got.append)
+        h.deliver_silence(0.024)
+        assert got[0].size == round(0.024 * 48000)
+        np.testing.assert_array_equal(got[0], 0.0)
+
 
 class TestRecordableRegistry:
     def test_register_enumerate_resolve(self, tmp_path):
