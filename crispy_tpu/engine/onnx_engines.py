@@ -855,6 +855,15 @@ class OnnxEncDecEngine:
             nxt = np.where(done, self.eos_id, nxt)
             tokens[:, s] = nxt
             done |= nxt == self.eos_id
+            if s - P >= 8:
+                # degenerate-loop guard: a greedy AR decoder stuck emitting
+                # one token (e.g. on silence) is cut (one instance kept)
+                # instead of running to the max_new cap
+                stuck = (~done) & (tokens[:, s - 7: s + 1]
+                                   == tokens[:, s: s + 1]).all(axis=1)
+                if stuck.any():
+                    tokens[stuck, s - 6:] = self.eos_id
+                    done |= stuck
             if done.all():
                 break
         out = []
