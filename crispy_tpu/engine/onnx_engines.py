@@ -510,6 +510,19 @@ class OnnxTdtEngine:
         self._encode = encode
         self._joint = joint
 
+    def _enc_time_last(self, shape) -> bool:
+        """True when the encoder output is [B, D, T'] (time last). The
+        graph's declared output shape decides when it has a static dim
+        (NeMo exports declare D); otherwise assume the smaller trailing
+        axis is D ([B, T', D])."""
+        for _name, _et, osh in self.enc.graph.outputs_info:
+            if osh and len(osh) == 3:
+                if osh[1] and osh[1] == shape[1] and not osh[2]:
+                    return True   # static middle dim = D → time last
+                if osh[2] and osh[2] == shape[2] and not osh[1]:
+                    return False  # static last dim = D → time middle
+        return shape[1] < shape[2]
+
     def _init_states(self, B: int):
         states = []
         for name, et, shape in self.dec_states:
@@ -540,7 +553,7 @@ class OnnxTdtEngine:
         for name, et, shape in self.enc_ints:
             extra[name] = np.full(a.shape[0], n_frames, _np_dtype(et))
         enc = np.asarray(self._encode(feats, extra))
-        if enc.shape[1] < enc.shape[2]:  # [B, D, T'] → [B, T', D]
+        if self._enc_time_last(enc.shape):  # [B, D, T'] → [B, T', D]
             enc = enc.swapaxes(1, 2)
         enc = enc[:B]
         Bq, Tq, D = enc.shape

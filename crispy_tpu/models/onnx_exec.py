@@ -119,6 +119,7 @@ class OnnxGraph:
     initializers: Dict[str, np.ndarray] = field(default_factory=dict)
     inputs: List[Tuple[str, Optional[int], List[Optional[int]]]] = field(default_factory=list)
     outputs: List[str] = field(default_factory=list)
+    outputs_info: List[Tuple[str, Optional[int], List[Optional[int]]]] = field(default_factory=list)
     name: str = ""
 
 
@@ -181,7 +182,9 @@ def _parse_graph(buf) -> OnnxGraph:
         elif fld == 11 and wire == 2:
             g.inputs.append(_parse_value_info(val))
         elif fld == 12 and wire == 2:
-            g.outputs.append(_parse_value_info(val)[0])
+            info = _parse_value_info(val)
+            g.outputs.append(info[0])
+            g.outputs_info.append(info)
     return g
 
 

@@ -1,0 +1,168 @@
+"""End-to-end proof on a REALISTIC export: a parakeet-style bundle built
+with the op patterns real NeMo int8 exports contain — dynamic-quant
+MatMulInteger chains, decomposed LayerNorm, Sin/Cos positional terms,
+Erf GELU, softmax attention, an ONNX LSTM prediction net — driven through
+OnnxTdtEngine. This is the closest offline stand-in for loading the real
+parakeet-v3-int8.tar.gz."""
+
+import numpy as np
+import pytest
+
+import onnx_builder as ob
+from test_onnx_exec_transformer import decomposed_layernorm, erf_gelu
+
+F32, I32, I64 = 1, 6, 7
+
+
+def quantized_matmul(prefix, x_name, w: np.ndarray, out_name):
+    """The ort quantize_dynamic pattern for one linear layer."""
+    p = prefix
+    w_scale = np.float32(np.abs(w).max() / 127.0 + 1e-8)
+    w_q = np.clip(np.round(w / w_scale), -127, 127).astype(np.int8)
+    nodes = [
+        ob.node("DynamicQuantizeLinear", [x_name], [f"{p}_xq", f"{p}_xs", f"{p}_xzp"]),
+        ob.node("MatMulInteger", [f"{p}_xq", f"{p}_wq", f"{p}_xzp", f"{p}_wzp"], [f"{p}_yi"]),
+        ob.node("Cast", [f"{p}_yi"], [f"{p}_yf"], to=1),
+        ob.node("Mul", [f"{p}_xs", f"{p}_ws"], [f"{p}_sc"]),
+        ob.node("Mul", [f"{p}_yf", f"{p}_sc"], [out_name]),
+    ]
+    inits = {f"{p}_wq": w_q, f"{p}_ws": w_scale, f"{p}_wzp": np.int8(0)}
+    return nodes, inits
+
+
+def make_realistic_parakeet_bundle(d, V=16, D=16, H=8, n_dur=5, seed=0):
+    rng = np.random.default_rng(seed)
+
+    # ---- encoder: conv subsample → +sin/cos position → attention block ----
+    conv_w = (rng.standard_normal((D, 80, 5)) * 0.15).astype(np.float32)
+    g1 = np.abs(rng.standard_normal(D)).astype(np.float32) + 0.5
+    b1 = (rng.standard_normal(D) * 0.1).astype(np.float32)
+    wq = (rng.standard_normal((D, D)) * 0.3).astype(np.float32)
+    wo = (rng.standard_normal((D, D)) * 0.3).astype(np.float32)
+    ff_w = (rng.standard_normal((D, D)) * 0.3).astype(np.float32)
+
+    ln_nodes, ln_init = decomposed_layernorm("eln", "pos_in", "g1", "b1", "h1")
+    gelu_nodes, gelu_init = erf_gelu("egelu", "ffq", "ffa")
+    qn, qi = quantized_matmul("q8", "h1", wq, "q")  # int8 linear
+    ffn, ffi = quantized_matmul("ff8", "attn_out", ff_w, "ffq")
+
+    enc_nodes = [
+        ob.node("Conv", ["audio_signal", "conv_w"], ["c"], strides=[8],
+                pads=[2, 2], kernel_shape=[5]),
+        ob.node("Transpose", ["c"], ["ct"], perm=[0, 2, 1]),  # [B, T', D]
+        # sinusoidal positions from the runtime shape (Shape→Range→Sin/Cos)
+        ob.node("Shape", ["ct"], ["sh"]),
+        ob.node("Gather", ["sh", "one_i"], ["tlen"], axis=0),
+        ob.node("Cast", ["tlen"], ["tlen_f"], to=1),
+        ob.node("Range", ["zero_f", "tlen_f", "one_f"], ["t_range"]),
+        ob.node("Unsqueeze", ["t_range", "ax1"], ["t_col"]),
+        ob.node("Mul", ["t_col", "freqs"], ["phase"]),
+        ob.node("Sin", ["phase"], ["pos_sin"]),
+        ob.node("Cos", ["phase"], ["pos_cos"]),
+        ob.node("Concat", ["pos_sin", "pos_cos"], ["pos"], axis=-1),
+        ob.node("Add", ["ct", "pos"], ["pos_in"]),
+    ] + ln_nodes + qn + [
+        # single-head self-attention with causal Trilu mask
+        ob.node("MatMul", ["q", "kT"], ["sc0"]),
+        ob.node("Transpose", ["q"], ["qT_tmp"], perm=[0, 2, 1]),
+        ob.node("Softmax", ["sc0"], ["attw"], axis=-1),
+        ob.node("MatMul", ["attw", "h1"], ["ctx"]),
+        ob.node("MatMul", ["ctx", "wo"], ["attn_proj"]),
+        ob.node("Add", ["pos_in", "attn_proj"], ["attn_out"]),
+    ] + ffn + gelu_nodes + [
+        ob.node("Add", ["attn_out", "ffa"], ["enc_btd"]),
+        ob.node("Transpose", ["enc_btd"], ["outputs"], perm=[0, 2, 1]),  # [B,D,T']
+    ]
+    # kT = transpose of q along time: implement via a second Transpose of q
+    enc_nodes.insert(len(ln_nodes) + len(qn) + 12, ob.node("Transpose", ["q"], ["kT"], perm=[0, 2, 1]))
+    inits = {
+        "conv_w": conv_w, "g1": g1, "b1": b1, "wo": wo,
+        "one_i": np.array(1, np.int64), "zero_f": np.float32(0.0),
+        "one_f": np.float32(1.0), "ax1": np.array([1], np.int64),
+        "freqs": (1.0 / (10 ** np.linspace(0, 3, D // 2))).astype(np.float32)[None, :],
+    }
+    inits.update(ln_init)
+    inits.update(gelu_init)
+    inits.update(qi)
+    inits.update(ffi)
+    ob.write_model(d / "encoder-model.int8.onnx", enc_nodes,
+                   [("audio_signal", F32, [None, 80, None]), ("length", I64, [None])],
+                   [("outputs", F32, [None, D, None])], inits)
+
+    # ---- decoder_joint: LSTM prediction net + int8 joint -------------------
+    emb = (rng.standard_normal((V + 1, H)) * 0.5).astype(np.float32)
+    W = (rng.standard_normal((1, 4 * H, H)) * 0.4).astype(np.float32)
+    R = (rng.standard_normal((1, 4 * H, H)) * 0.4).astype(np.float32)
+    Bz = np.zeros((1, 8 * H), np.float32)
+    joint_w = (rng.standard_normal((D + H, V + 1 + n_dur)) * 0.5).astype(np.float32)
+    jn, ji = quantized_matmul("j8", "joint_in", joint_w, "jl")
+    dec_nodes = [
+        # targets [B,1] → embedding → LSTM (layout 0: [T,B,I])
+        ob.node("Gather", ["emb", "targets"], ["te"], axis=0),  # [B,1,H]
+        ob.node("Transpose", ["te"], ["te_t"], perm=[1, 0, 2]),  # [1,B,H]
+        ob.node("LSTM", ["te_t", "W", "R", "Bz", "", "input_states_1", "input_states_2"],
+                ["Y", "output_states_1", "output_states_2"], hidden_size=8),
+        # Y [1,1,B,H] → pred [B,H]
+        ob.node("Squeeze", ["Y", "ax01"], ["pred"]),
+        # frame [B,D,1] → [B,D]
+        ob.node("Squeeze", ["encoder_outputs", "ax2"], ["frame"]),
+        ob.node("Concat", ["frame", "pred"], ["joint_in"], axis=-1),
+    ] + jn + [
+        ob.node("Unsqueeze", ["jl", "ax1"], ["jl1"]),
+        ob.node("Unsqueeze", ["jl1", "ax1"], ["outputs"]),  # [B,1,1,V+1+nd]
+    ]
+    ob.write_model(d / "decoder_joint-model.int8.onnx", dec_nodes,
+                   [("encoder_outputs", F32, [None, None, 1]),
+                    ("targets", I32, [None, 1]),
+                    ("target_length", I32, [None]),
+                    ("input_states_1", F32, [1, None, H]),
+                    ("input_states_2", F32, [1, None, H])],
+                   [("outputs", F32, [None, 1, 1, V + 1 + n_dur]),
+                    ("output_states_1", F32, [1, None, H]),
+                    ("output_states_2", F32, [1, None, H])],
+                   {"emb": emb, "W": W, "R": R, "Bz": Bz,
+                    "ax01": np.array([0, 1], np.int64),
+                    "ax1": np.array([1], np.int64),
+                    "ax2": np.array([2], np.int64), **ji})
+    (d / "vocab.txt").write_text("\n".join(f"▁w{i}" for i in range(V)))
+    return d
+
+
+def test_realistic_parakeet_bundle_end_to_end(tmp_path):
+    from crispy_tpu.engine.onnx_engines import OnnxTdtEngine
+
+    d = make_realistic_parakeet_bundle(tmp_path)
+    eng = OnnxTdtEngine(d, "parakeet-realistic")
+    rng = np.random.default_rng(1)
+    chunks = (rng.standard_normal((2, 24000)) * 0.3).astype(np.float32)
+    texts = eng.transcribe_batch(chunks)
+    assert len(texts) == 2 and all(isinstance(t, str) for t in texts)
+    assert texts == eng.transcribe_batch(chunks)  # deterministic
+    # NOTE: exact batch-invariance is NOT a property of int8 dynamic-quant
+    # graphs — DynamicQuantizeLinear takes the activation scale over the
+    # whole batched tensor (ONNX Runtime semantics; the reference always
+    # runs B=1). Require strong prefix agreement instead: quantization
+    # noise may flip late near-tie decisions but not the decode itself.
+    solo = [eng.transcribe_batch(chunks[i:i + 1])[0] for i in range(2)]
+    for t, s in zip(texts, solo):
+        tw, sw = t.split(), s.split()
+        n = min(len(tw), len(sw))
+        agree = sum(a == b for a, b in zip(tw[:n], sw[:n]))
+        assert n > 0 and agree / n > 0.8, (t, s)
+    segs = eng.transcribe_with_timestamps(chunks[0], 0.0)
+    for s, e, w in segs:
+        assert 0.0 <= s <= e <= 1.6
+
+
+def test_realistic_bundle_via_load_engine(tmp_path, data_root):
+    from crispy_tpu.engine.transcription import load_engine
+    from crispy_tpu.models.registry import ModelManager
+
+    mm = ModelManager()
+    bundle = mm.model_path("parakeet-tdt-0.6b-v3")
+    bundle.mkdir(parents=True)
+    make_realistic_parakeet_bundle(bundle)
+    eng = load_engine("parakeet-tdt-0.6b-v3", mm)
+    out = eng.transcribe_batch(
+        (np.random.default_rng(2).standard_normal((1, 16000)) * 0.3).astype(np.float32))
+    assert len(out) == 1
