@@ -61,7 +61,9 @@ def bench_denoise():
         carry[0], out, _ = jp._denoise_block_jit(params, carry[0], block)
         out_box[0] = out
 
-    dt = _timeit(step, lambda: float(out_box[0].sum()), reps=3, inner=15)
+    # inner=40: the proxied backend's value fetch costs ~29 ms; amortize it
+    # so the number reflects steady-state device throughput
+    dt = _timeit(step, lambda: float(out_box[0].sum()), reps=3, inner=40)
     return (S * F * 480 / 48000) / dt
 
 
