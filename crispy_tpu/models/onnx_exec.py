@@ -833,7 +833,11 @@ def _slice(node, a, starts=None, ends=None, axes=None, steps=None):
                if steps is not None else [1] * len(starts))
     sl = [slice(None)] * nd
     for ax, st, en, sp in zip(axes_l, starts, ends, steps_l):
-        sl[ax] = slice(st, None if en >= 2 ** 62 else en, sp)
+        # INT64_MAX / INT64_MIN are the ONNX "to the end" sentinels for
+        # forward / reversed slices respectively
+        end = None if (en >= 2 ** 62 or (sp < 0 and en <= -2 ** 62)) else en
+        start = None if (sp < 0 and st >= 2 ** 62) else st
+        sl[ax] = slice(start, end, sp)
     return x[tuple(sl)]
 
 

@@ -270,6 +270,18 @@ def test_slice_pad_where_reduce(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_reversed_slice_sentinels(tmp_path):
+    """step -1 with INT64_MIN end (the ONNX 'to the beginning' sentinel)."""
+    x = np.arange(24, dtype=np.float32).reshape(4, 6)
+    r = build(tmp_path, [ob.node("Slice", ["x", "st", "en", "ax", "sp"], ["y"])],
+              [("x", F32, [4, 6])], [("y", F32, None)],
+              {"st": np.array([2 ** 63 - 1], np.int64),
+               "en": np.array([-2 ** 63], np.int64),
+               "ax": np.array([1], np.int64), "sp": np.array([-1], np.int64)})
+    got = np.asarray(r(x=x)["y"])
+    np.testing.assert_array_equal(got, x[:, ::-1])
+
+
 def test_trig_mod_trilu_gathernd(tmp_path):
     rng = np.random.default_rng(9)
     x = rng.standard_normal((3, 4)).astype(np.float32)

@@ -64,7 +64,6 @@ def make_realistic_parakeet_bundle(d, V=16, D=16, H=8, n_dur=5, seed=0):
     ] + ln_nodes + qn + [
         # single-head self-attention with causal Trilu mask
         ob.node("MatMul", ["q", "kT"], ["sc0"]),
-        ob.node("Transpose", ["q"], ["qT_tmp"], perm=[0, 2, 1]),
         ob.node("Softmax", ["sc0"], ["attw"], axis=-1),
         ob.node("MatMul", ["attw", "h1"], ["ctx"]),
         ob.node("MatMul", ["ctx", "wo"], ["attn_proj"]),
