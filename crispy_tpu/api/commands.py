@@ -196,7 +196,8 @@ class CrispyApp:
         return reg_mod.RECOMMENDED_FIRST_MODEL
 
     # -- transcription -------------------------------------------------------------
-    def start_transcription(self, recording_path: str) -> threading.Thread:
+    def start_transcription(self, recording_path: str,
+                            language: str = "en") -> threading.Thread:
         model_id = self.selected_model.get()
         if not model_id or model_id == "none":
             raise ValueError(
@@ -209,7 +210,8 @@ class CrispyApp:
             "merge_gap": float(st.diarization_merge_gap or 2.5),
         }
         return tr_mod.start_transcription(
-            recording_path, self.transcription_manager, model_id, diarization=diar
+            recording_path, self.transcription_manager, model_id,
+            language=language, diarization=diar
         )
 
     def get_transcription_result(self, recording_path: str) -> Optional[str]:

@@ -84,7 +84,7 @@ def _cmd_transcribe(args) -> int:
     if args.diarize:
         app.set_app_setting("diarization_enabled", "true")
     t0 = time.time()
-    th = app.start_transcription(str(args.input))
+    th = app.start_transcription(str(args.input), language=args.language)
     th.join()
     st = app.get_transcription_state(str(args.input)) or {}
     text = app.get_transcription_result(str(args.input))
@@ -220,6 +220,7 @@ def main(argv=None) -> int:
     t = sub.add_parser("transcribe", help="speech-to-text on a recording")
     t.add_argument("input", type=Path)
     t.add_argument("--model", default=None, help="model id (see `crispy models list`)")
+    t.add_argument("--language", default="en", help="spoken language code (e.g. de, ru)")
     t.add_argument("--output", type=Path, default=None)
     t.add_argument("--diarize", action="store_true")
     t.set_defaults(fn=_cmd_transcribe)
