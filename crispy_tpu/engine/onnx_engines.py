@@ -24,7 +24,6 @@ import numpy as np
 
 from ..models.onnx_exec import OnnxRunner
 
-_FLOAT_TYPES = {1, 10, 11}
 _INT_TYPES = {2, 3, 4, 5, 6, 7}
 _SPECIAL_RE = re.compile(r"^<\|.*\|>$|^<[a-z_/]+>$|^\[.*\]$")
 
@@ -183,6 +182,27 @@ def _shard_data(x, mesh):
 
     spec = P("data", *([None] * (x.ndim - 1)))
     return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def _resolve_frontend(model_dir, feats_shape):
+    """The feature frontend for an encoder: a bundle's preprocess graph
+    (raw waveform → features, the moonshine layout) when present, else the
+    frontend picked from the feats input signature."""
+    import jax
+
+    pre_p = find_onnx(model_dir, "preprocess")
+    if pre_p is not None:
+        pre_runner = OnnxRunner.load(pre_p).validate()
+        pre_in = pre_runner.input_info()[0]
+
+        @jax.jit
+        def pre_fn(a):
+            x = a if (pre_in[2] and len(pre_in[2]) == 2) else a[:, None, :]
+            out = pre_runner(**{pre_in[0]: x})
+            return out[pre_runner.output_names[0]]
+
+        return pre_fn, "waveform"
+    return _pick_frontend(feats_shape)
 
 
 def _classify(runner: OnnxRunner) -> Dict[str, list]:
@@ -434,22 +454,7 @@ class OnnxTdtEngine:
 
         ecls = _classify(self.enc)
         self.enc_feats_name, _, efs = ecls["float"][0]
-        # moonshine-style bundles ship a preprocess graph (raw waveform →
-        # features); when present it IS the frontend
-        pre_p = find_onnx(model_dir, "preprocess")
-        if pre_p is not None:
-            pre_runner = OnnxRunner.load(pre_p).validate()
-            pre_in = pre_runner.input_info()[0]
-
-            @jax.jit
-            def pre_fn(a):
-                x = a if (pre_in[2] and len(pre_in[2]) == 2) else a[:, None, :]
-                out = pre_runner(**{pre_in[0]: x})
-                return out[pre_runner.output_names[0]]
-
-            self.frontend, self.kind = pre_fn, "waveform"
-        else:
-            self.frontend, self.kind = _pick_frontend(efs)
+        self.frontend, self.kind = _resolve_frontend(model_dir, efs)
         self.enc_ints = ecls["int"]
 
         dcls = _classify(self.dec)
@@ -708,22 +713,7 @@ class OnnxEncDecEngine:
 
         ecls = _classify(self.enc)
         self.enc_feats_name, _, efs = ecls["float"][0]
-        # moonshine-style bundles ship a preprocess graph (raw waveform →
-        # features); when present it IS the frontend
-        pre_p = find_onnx(model_dir, "preprocess")
-        if pre_p is not None:
-            pre_runner = OnnxRunner.load(pre_p).validate()
-            pre_in = pre_runner.input_info()[0]
-
-            @jax.jit
-            def pre_fn(a):
-                x = a if (pre_in[2] and len(pre_in[2]) == 2) else a[:, None, :]
-                out = pre_runner(**{pre_in[0]: x})
-                return out[pre_runner.output_names[0]]
-
-            self.frontend, self.kind = pre_fn, "waveform"
-        else:
-            self.frontend, self.kind = _pick_frontend(efs)
+        self.frontend, self.kind = _resolve_frontend(model_dir, efs)
         self.enc_ints = ecls["int"]
 
         dcls = _classify(self.dec)
