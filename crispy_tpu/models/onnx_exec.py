@@ -843,14 +843,25 @@ def _slice(node, a, starts=None, ends=None, axes=None, steps=None):
 
 @op("Gather")
 def _gather(node, a, idx):
+    jnp = _jnp()
     axis = int(node.attrs.get("axis", 0))
-    return _jnp().take(a, _jnp().asarray(idx), axis=axis)
+    aa = jnp.asarray(a)
+    ii = jnp.asarray(idx)
+    if jnp.issubdtype(ii.dtype, jnp.signedinteger):
+        # ONNX allows negative indices; jnp.take clips them under jit
+        ii = jnp.where(ii < 0, ii + aa.shape[axis % aa.ndim], ii)
+    return jnp.take(aa, ii, axis=axis)
 
 
 @op("GatherElements")
 def _gather_elems(node, a, idx):
+    jnp = _jnp()
+    aa = jnp.asarray(a)
     axis = int(node.attrs.get("axis", 0))
-    return _jnp().take_along_axis(_jnp().asarray(a), _jnp().asarray(idx), axis=axis)
+    ii = jnp.asarray(idx)
+    if jnp.issubdtype(ii.dtype, jnp.signedinteger):
+        ii = jnp.where(ii < 0, ii + aa.shape[axis % aa.ndim], ii)
+    return jnp.take_along_axis(aa, ii, axis=axis)
 
 
 @op("Squeeze")
