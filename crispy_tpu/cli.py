@@ -187,6 +187,39 @@ def _cmd_convert(args) -> int:
     return 0
 
 
+def _cmd_bench(args) -> int:
+    """Denoise throughput on the local accelerator (one JSON line)."""
+    import numpy as np
+
+    from .dsp.rnnoise import jax_pipeline as jp
+    from .dsp.rnnoise.weights import builtin_model, deterministic_test_model
+
+    try:
+        model = builtin_model()
+    except Exception:
+        model = deterministic_test_model()
+    import jax.numpy as jnp
+
+    S, F = args.streams, 100
+    params = jp.make_params(model)
+    rng = np.random.default_rng(0)
+    block = jnp.asarray(rng.standard_normal((S, F * 480), dtype=np.float32) * 0.3)
+    state = jp.init_state(S)
+    state, out, _ = jp._denoise_block_jit(params, state, block)
+    _ = float(out.sum())
+    n = 20
+    t0 = time.time()
+    for _ in range(n):
+        state, out, _ = jp._denoise_block_jit(params, state, block)
+    _ = float(out.sum())
+    dt = (time.time() - t0) / n
+    x = S * F * 480 / 48000 / dt
+    print(json.dumps({"metric": "rnnoise_denoise_realtime_factor_per_chip",
+                      "value": round(x, 1), "unit": "x_realtime_48khz",
+                      "streams": S}))
+    return 0
+
+
 def _cmd_serve(args) -> int:
     from .api.stream_server import StreamServer
 
@@ -239,6 +272,10 @@ def main(argv=None) -> int:
     c = sub.add_parser("convert", help="any media file → 48 kHz WAV (ffmpeg)")
     c.add_argument("input", type=Path)
     c.set_defaults(fn=_cmd_convert)
+
+    bch = sub.add_parser("bench", help="denoise throughput on this accelerator")
+    bch.add_argument("--streams", type=int, default=128)
+    bch.set_defaults(fn=_cmd_bench)
 
     s = sub.add_parser("serve", help="range-capable HTTP server over recordings")
     s.add_argument("--port", type=int, default=0)
