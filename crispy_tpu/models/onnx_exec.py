@@ -1315,7 +1315,13 @@ def _lstm(node, x, w, r, b=None, seq_lens=None, init_h=None, init_c=None, p=None
 
     jnp = _jnp()
     if seq_lens is not None:
-        raise NotImplementedError("LSTM sequence_lens")
+        T_in = (np.asarray(x).shape[1] if node.attrs.get("layout", 0)
+                else np.asarray(x).shape[0]) if _is_static(x) else (
+            x.shape[1] if node.attrs.get("layout", 0) else x.shape[0])
+        if _is_static(seq_lens) and bool(np.all(np.asarray(seq_lens) == T_in)):
+            seq_lens = None  # full-length rows: equivalent to no lengths
+        else:
+            raise NotImplementedError("LSTM sequence_lens (non-full-length)")
     if p is not None:
         raise NotImplementedError("LSTM peepholes")
     if node.attrs.get("layout", 0):
@@ -1386,7 +1392,11 @@ def _gru(node, x, w, r, b=None, seq_lens=None, init_h=None):
 
     jnp = _jnp()
     if seq_lens is not None:
-        raise NotImplementedError("GRU sequence_lens")
+        T_in = (x.shape[1] if node.attrs.get("layout", 0) else x.shape[0])
+        if _is_static(seq_lens) and bool(np.all(np.asarray(seq_lens) == T_in)):
+            seq_lens = None
+        else:
+            raise NotImplementedError("GRU sequence_lens (non-full-length)")
     if node.attrs.get("layout", 0):
         x = jnp.swapaxes(jnp.asarray(x), 0, 1)
     xx = jnp.asarray(x, jnp.float32)
