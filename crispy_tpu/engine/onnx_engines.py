@@ -749,12 +749,18 @@ class OnnxEncDecEngine:
                     return v
             raise ValueError("no rank-3 encoder output")
 
+        # branch-select flags must stay compile-time static (the executor
+        # resolves If conditions at trace time) — close over them instead of
+        # passing them through the jit boundary
+        bool_consts = {nm: np.array(False) for nm, _sh in self.dec_bools}
+
         @jax.jit
         def decode(tokens, enc_out, extra):
             name, et, shape = self.dec_tok
             inputs = {name: tokens.astype(_np_dtype(et))}
             if self.dec_enc is not None:
                 inputs[self.dec_enc[0]] = enc_out
+            inputs.update(bool_consts)
             inputs.update(extra)
             out = dec_runner(**inputs)
             for oname in dec_runner.output_names:
@@ -817,8 +823,6 @@ class OnnxEncDecEngine:
                 else:
                     dims.append(0)  # past sequence length: empty cache
             extra[name] = np.zeros(dims, _np_dtype(et))
-        for name, _shape in self.dec_bools:
-            extra[name] = np.array(False)  # use_cache_branch = False
         return extra
 
     def prompt_for_language(self, language: str) -> List[int]:

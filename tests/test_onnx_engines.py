@@ -301,3 +301,68 @@ def test_encdec_engine_canary_prompt_and_decode(tmp_path):
             break
         toks.append(nxt)
     assert eng.decode_ids(toks[len(eng.prompt_ids):]) == texts[0]
+
+
+def make_merged_decoder_bundle(d, V=12, D=6, E=4, seed=11):
+    """HF-optimum style: encoder_model.onnx + decoder_model_merged.onnx with
+    a use_cache_branch If and past_key_values inputs (fed zero-length)."""
+    rng = np.random.default_rng(seed)
+    conv_w = (rng.standard_normal((D, 80, 3)) * 0.2).astype(np.float32)
+    ob.write_model(d / "encoder_model.onnx", [
+        ob.node("Conv", ["audio_signal", "conv_w"], ["c"], strides=[8],
+                pads=[1, 1], kernel_shape=[3]),
+        ob.node("Transpose", ["c"], ["encoder_hidden_states"], perm=[0, 2, 1]),
+    ], [("audio_signal", F32, [None, 80, None]), ("length", I64, [None])],
+        [("encoder_hidden_states", F32, [None, None, D])], {"conv_w": conv_w})
+
+    emb = (rng.standard_normal((V, E)) * 0.7).astype(np.float32)
+    enc_proj = (rng.standard_normal((D, E)) * 0.4).astype(np.float32)
+    out_w = rng.standard_normal((E, V)).astype(np.float32)
+    # else (uncached) branch: full causal decode; then branch: degenerate
+    # (reads the past tensor — would fail on zero-length if ever taken)
+    else_nodes = [
+        ob.node("Gather", ["emb", "input_ids"], ["te"], axis=0),
+        ob.node("CumSum", ["te", "one"], ["causal"]),
+        ob.node("ReduceMean", ["encoder_hidden_states", "t_ax"], ["ctx"], keepdims=1),
+        ob.node("MatMul", ["ctx", "enc_proj"], ["ctx_e"]),
+        ob.node("Add", ["causal", "ctx_e"], ["h"]),
+        ob.node("MatMul", ["h", "out_w"], ["logits_else"]),
+    ]
+    then_nodes = [
+        ob.node("MatMul", ["past_key_values_0_key", "out_w"], ["pk2"]),
+        ob.node("ReduceMean", ["pk2", "t_ax"], ["logits_then"], keepdims=1),
+    ]
+    else_graph = b"".join([ob._ld(1, n) for n in else_nodes]) + ob._ld(2, b"else") + \
+        ob._ld(12, ob.value_info("logits_else", F32, [None, None, V]))
+    then_graph = b"".join([ob._ld(1, n) for n in then_nodes]) + ob._ld(2, b"then") + \
+        ob._ld(12, ob.value_info("logits_then", F32, [None, None, V]))
+    # splice subgraph attrs manually (builder attr() has no graph support)
+    if_node = ob._ld(1, b"use_cache_branch") + ob._ld(2, b"logits") + \
+        ob._ld(3, b"if0") + ob._ld(4, b"If") + \
+        ob._ld(5, ob._ld(1, b"then_branch") + ob._ld(6, then_graph) + ob._vi(20, 5)) + \
+        ob._ld(5, ob._ld(1, b"else_branch") + ob._ld(6, else_graph) + ob._vi(20, 5))
+    ob.write_model(d / "decoder_model_merged.onnx", [if_node],
+                   [("input_ids", I32, [None, None]),
+                    ("encoder_hidden_states", F32, [None, None, D]),
+                    ("past_key_values_0_key", F32, [None, 2, None, E]),
+                    ("use_cache_branch", 9, [1])],
+                   [("logits", F32, [None, None, V])],
+                   {"emb": emb, "enc_proj": enc_proj, "out_w": out_w,
+                    "one": np.array(1, np.int64), "t_ax": np.array([1], np.int64)})
+    write_vocab(d, ["<pad>", "<s>", "</s>"] + [f"▁x{i}" for i in range(V - 3)])
+    return d
+
+
+def test_merged_decoder_uncached_branch(tmp_path):
+    """use_cache_branch=False routes through the If else-branch with
+    zero-length past tensors (the HF-optimum merged export contract)."""
+    from crispy_tpu.engine.onnx_engines import OnnxEncDecEngine
+
+    d = make_merged_decoder_bundle(tmp_path)
+    eng = OnnxEncDecEngine(d, "merged-test", max_new=6)
+    assert eng.dec_states and eng.dec_bools  # past tensors + bool flag wired
+    chunks = (np.random.default_rng(12).standard_normal((2, 16000)) * 0.3
+              ).astype(np.float32)
+    texts = eng.transcribe_batch(chunks)
+    assert len(texts) == 2
+    assert texts == eng.transcribe_batch(chunks)
