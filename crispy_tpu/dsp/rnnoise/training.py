@@ -20,6 +20,7 @@ repo's builtin model was minted with tools/train_rnnoise.py.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -105,22 +106,29 @@ def _clean_band_energy(params, state, block):
     return state, jp._band_energy(params, Xr, Xi)
 
 
-def make_batch(params, rng: np.random.Generator, S: int, F: int) -> Dict[str, np.ndarray]:
-    """features [S,F,42], gains [S,F,22], vad [S,F], mask [S,F]."""
+@functools.partial(jax.jit, static_argnames=())
+def _batch_targets(params, clean, noisy):
+    """Device-side target computation: (features, gains, mask) — keeps the
+    whole batch on device (a host fetch per array costs ~29 ms through a
+    tunneled chip, which made long training runs infeasible)."""
+    state = jp.init_state(noisy.shape[0])
+    _, fr = jp.frontend_block(params, state, noisy)
+    cstate = jp.init_state(clean.shape[0])
+    _, Ec = _clean_band_energy(params, cstate, clean)
+    gains = jnp.sqrt(jnp.clip(Ec / jnp.maximum(fr["Ex"], 1e-8), 0.0, 1.0))
+    return fr["feats"], gains, (~fr["silence"]).astype(jnp.float32)
+
+
+def make_batch(params, rng: np.random.Generator, S: int, F: int) -> Dict[str, jnp.ndarray]:
+    """features [S,F,42], gains [S,F,22], vad [S,F], mask [S,F] — device
+    arrays (no host round trips)."""
     clean, noisy, voiced = synth_batch(rng, S, F)
-    state = jp.init_state(S)
-    state, fr = jax.jit(jp.frontend_block)(params, state, jnp.asarray(noisy))
-    cstate = jp.init_state(S)
-    _, Ec = jax.jit(_clean_band_energy)(params, cstate, jnp.asarray(clean))
-    Ex = np.asarray(fr["Ex"])
-    Ec = np.asarray(Ec)
-    gains = np.sqrt(np.clip(Ec / np.maximum(Ex, 1e-8), 0.0, 1.0)).astype(np.float32)
-    silence = np.asarray(fr["silence"])
+    feats, gains, mask = _batch_targets(params, jnp.asarray(clean), jnp.asarray(noisy))
     return {
-        "features": np.asarray(fr["feats"]),
+        "features": feats,
         "gains": gains,
-        "vad": voiced.astype(np.float32),
-        "mask": (~silence).astype(np.float32),
+        "vad": jnp.asarray(voiced.astype(np.float32)),
+        "mask": mask,
     }
 
 
@@ -202,10 +210,9 @@ def train_model(
     losses = []
     for i in range(steps):
         batch = make_batch(pipe_params, rng, batch_streams, frames)
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
         tparams, opt_state, loss = step(tparams, opt_state, batch)
         if i % log_every == 0 or i == steps - 1:
-            losses.append(float(loss))
+            losses.append(float(loss))  # the only host sync per log window
     model = quantize_to_model(tparams, name=f"synthetic-{steps}steps")
     return model, losses
 
