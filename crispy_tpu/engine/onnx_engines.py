@@ -96,6 +96,24 @@ def load_tokenizer(path):
 
         t = Tokenizer.from_file(str(tj))
         return (lambda ids: t.decode(list(map(int, ids)))), t.get_vocab_size()
+    vj = next(iter(sorted(path.rglob("vocab.json"))), None)
+    if vj is not None:
+        # GPT-2-style byte-level vocab (id → printable-unicode token)
+        import json
+
+        from ..models.whisper.tokenizer import _gpt2_byte_decoder
+
+        v = json.load(open(vj, encoding="utf-8"))
+        dec = _gpt2_byte_decoder()
+        table = [b""] * (max(v.values()) + 1)
+        for tok, idx in v.items():
+            table[idx] = bytes(dec.get(ch, ord("?")) for ch in tok)
+
+        def decode(ids):
+            data = b"".join(table[i] for i in ids if 0 <= i < len(table))
+            return re.sub(r"\s+", " ", data.decode("utf-8", errors="replace")).strip()
+
+        return decode, len(table)
     raise FileNotFoundError(f"no tokenizer/vocab found in {path}")
 
 
