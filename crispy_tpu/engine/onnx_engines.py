@@ -709,12 +709,13 @@ class OnnxEncDecEngine:
     def __init__(self, model_dir, model_id: str = "onnx-encdec",
                  max_new: int = 224, prompt_tokens: Optional[List[str]] = None,
                  eos_tokens: Sequence[str] = ("</s>", "<|endoftext|>", "<eos>"),
-                 mesh=None):
+                 mesh=None, beam: int = 1):
         import jax
 
         self.name = model_id
         self.max_new = max_new
         self.mesh = mesh
+        self.beam = max(1, int(beam))
         model_dir = Path(model_dir)
         enc_p = find_onnx(model_dir, "encoder", "encode", exclude=("preprocess",))
         # prefer an uncached/merged decoder export over a cached-only one
@@ -864,22 +865,72 @@ class OnnxEncDecEngine:
         enc_out = np.asarray(self._encode(feats, extra))[:B]
 
         prompt_ids = self.prompt_for_language(language)
+        tokens = self._decode_tokens(enc_out, B, prompt_ids, self.beam)
+        P = len(prompt_ids)
+        out = []
+        for b in range(B):
+            seq = []
+            for tkn in tokens[b, P:]:
+                if int(tkn) == self.eos_id:
+                    break
+                seq.append(int(tkn))
+            out.append(self.decode_ids(seq))
+        return out
+
+    def _decode_tokens(self, enc_out, B: int, prompt_ids, beam: int = 1) -> np.ndarray:
+        """Padded-causal decode of [B(*beam)] rows → best tokens [B, S].
+
+        beam == 1 is plain greedy; beam > 1 runs beams as extra batch rows
+        with length-normalized final ranking. The decoder is stateless
+        (full-prefix at a fixed padded length), so beam reordering is a
+        host-side row permutation of the token prefixes — no KV caches to
+        shuffle.
+        """
         P = len(prompt_ids)
         S = P + self.max_new
-        tokens = np.zeros((B, S), np.int64)
+        R = B * beam
+        if beam > 1:
+            enc_out = np.repeat(np.asarray(enc_out), beam, axis=0)
+        tokens = np.zeros((R, S), np.int64)
         tokens[:, :P] = prompt_ids
-        done = np.zeros(B, bool)
-        state_extra = self._zero_states(B)
-        dec_int_extra = {}
+        done = np.zeros(R, bool)
+        cum = np.zeros((B, beam), np.float64)
+        state_extra = self._zero_states(R)
         for name, et, shape in self.dec_ints:
-            dec_int_extra[name] = np.full(B, S, _np_dtype(et))
-        state_extra.update(dec_int_extra)
+            state_extra[name] = np.full(R, S, _np_dtype(et))
         for s in range(P, S):
-            logits = np.asarray(self._decode(tokens, enc_out, state_extra))
-            nxt = logits[:, s - 1].argmax(axis=-1)
-            nxt = np.where(done, self.eos_id, nxt)
-            tokens[:, s] = nxt
-            done |= nxt == self.eos_id
+            logits = np.asarray(self._decode(tokens, enc_out, state_extra))[:, s - 1]
+            if beam == 1:
+                nxt = logits.argmax(axis=-1)
+                nxt = np.where(done, self.eos_id, nxt)
+                tokens[:, s] = nxt
+                done |= nxt == self.eos_id
+            else:
+                V = logits.shape[-1]
+                lp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)
+                                            ).sum(-1, keepdims=True)) - logits.max(-1, keepdims=True)
+                lp = lp.reshape(B, beam, V)
+                frozen = np.full(V, -np.inf)
+                frozen[self.eos_id] = 0.0
+                lp = np.where(done.reshape(B, beam)[..., None], frozen, lp)
+                if s == P:
+                    # all beams identical at the first step: expand beam 0 only
+                    cand = cum[:, :1] + lp[:, 0]  # [B, V]
+                    order = np.argsort(-cand, axis=-1)[:, :beam]
+                    parent = np.zeros((B, beam), np.int64)
+                    tok = order
+                    cum = np.take_along_axis(cand, order, axis=-1)
+                else:
+                    cand = (cum[..., None] + lp).reshape(B, beam * V)
+                    order = np.argsort(-cand, axis=-1)[:, :beam]
+                    parent = order // V
+                    tok = order % V
+                    cum = np.take_along_axis(cand, order, axis=-1)
+                rows = (np.arange(B)[:, None] * beam + parent).reshape(-1)
+                tokens = tokens[rows]
+                done = done[rows]
+                tokens[:, s] = tok.reshape(-1)
+                done |= tokens[:, s] == self.eos_id
             if s - P >= 8:
                 # degenerate-loop guard: a greedy AR decoder stuck emitting
                 # one token (e.g. on silence) is cut (one instance kept)
@@ -891,15 +942,18 @@ class OnnxEncDecEngine:
                     done |= stuck
             if done.all():
                 break
-        out = []
-        for b in range(B):
-            seq = []
-            for tkn in tokens[b, P:]:
-                if int(tkn) == self.eos_id:
-                    break
-                seq.append(int(tkn))
-            out.append(self.decode_ids(seq))
-        return out
+        if beam == 1:
+            return tokens
+        # length-normalized ranking over finished beams (whisper convention)
+        toks3 = tokens.reshape(B, beam, S)
+        lengths = np.full((B, beam), self.max_new, np.int64)
+        gen = toks3[:, :, P:]
+        has_eos = (gen == self.eos_id).any(axis=-1)
+        first_eos = (gen == self.eos_id).argmax(axis=-1)
+        lengths = np.where(has_eos, first_eos, lengths)
+        norm = cum / np.maximum(lengths + 1, 1)
+        best = norm.argmax(axis=1)
+        return toks3[np.arange(B), best]
 
     def transcribe_with_timestamps(self, chunk_16k, offset_seconds):
         text = self.transcribe_batch(chunk_16k[None, :])[0]

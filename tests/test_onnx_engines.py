@@ -366,3 +366,18 @@ def test_merged_decoder_uncached_branch(tmp_path):
     texts = eng.transcribe_batch(chunks)
     assert len(texts) == 2
     assert texts == eng.transcribe_batch(chunks)
+
+
+def test_encdec_beam_one_matches_greedy_and_beam_runs(tmp_path):
+    from crispy_tpu.engine.onnx_engines import OnnxEncDecEngine
+
+    d = make_canary_bundle(tmp_path)
+    chunks = (np.random.default_rng(13).standard_normal((2, 16000)) * 0.3
+              ).astype(np.float32)
+    greedy = OnnxEncDecEngine(d, "c", max_new=10).transcribe_batch(chunks)
+    beam1 = OnnxEncDecEngine(d, "c", max_new=10, beam=1).transcribe_batch(chunks)
+    assert greedy == beam1
+    beam3 = OnnxEncDecEngine(d, "c", max_new=10, beam=3).transcribe_batch(chunks)
+    assert len(beam3) == 2 and all(isinstance(t, str) for t in beam3)
+    # beam search is deterministic
+    assert beam3 == OnnxEncDecEngine(d, "c", max_new=10, beam=3).transcribe_batch(chunks)
