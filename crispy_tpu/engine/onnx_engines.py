@@ -295,14 +295,34 @@ def _frame_count(kind: str, n_samples: int) -> int:
 # CTC engine (GigaAM, SenseVoice)
 # ---------------------------------------------------------------------------
 
+# FunASR SenseVoice prompt-id tables (model.py lid_dict / textnorm_dict of
+# the FunASR SenseVoiceSmall export, the graph transcribe-rs's
+# SenseVoiceModel consumes — managers/transcription.rs:153-156). A bundle
+# can override them by shipping `sensevoice_ids.json` with the same keys.
+SENSEVOICE_LID = {"auto": 0, "zh": 3, "en": 4, "yue": 7, "ja": 11, "ko": 12,
+                  "nospeech": 13}
+SENSEVOICE_TEXTNORM = {"withitn": 14, "woitn": 15}
+
+
+def _load_id_tables(model_dir) -> Tuple[Dict[str, int], Dict[str, int]]:
+    p = Path(model_dir) / "sensevoice_ids.json"
+    if p.exists():
+        import json
+
+        raw = json.loads(p.read_text(encoding="utf-8"))
+        return (dict(raw.get("lid", SENSEVOICE_LID)),
+                dict(raw.get("textnorm", SENSEVOICE_TEXTNORM)))
+    return dict(SENSEVOICE_LID), dict(SENSEVOICE_TEXTNORM)
+
+
 class OnnxCtcEngine:
     """Single-graph CTC: features → log-probs [B, T', V] → greedy collapse."""
 
     name = "onnx-ctc"
 
     def __init__(self, model_dir, model_id: str = "onnx-ctc",
-                 blank_id: Optional[int] = None, language_id: int = 0,
-                 textnorm_id: int = 15, mesh=None):
+                 blank_id: Optional[int] = None, language_id: Optional[int] = None,
+                 textnorm: str = "woitn", mesh=None):
         import jax
 
         self.name = model_id
@@ -321,8 +341,9 @@ class OnnxCtcEngine:
         self.frontend, self.kind = _pick_frontend(feats_shape)
         self.int_inputs = cls["int"]
         self.blank_id = blank_id
-        self.language_id = language_id
-        self.textnorm_id = textnorm_id
+        self.lid_table, self.textnorm_table = _load_id_tables(model_dir)
+        self.language_id = language_id  # fixed override; None = per-call table
+        self.textnorm_id = self.textnorm_table.get(textnorm, 15)
 
         runner = self.runner
 
@@ -339,11 +360,38 @@ class OnnxCtcEngine:
                     break
             if logits is None:
                 raise ValueError("no rank-3 logits output")
-            return logits
+            # orient to [B, T, V] (static shapes at trace time): the vocab
+            # axis is the one sized like the tokenizer vocab
+            if self.vocab_size:
+                d1 = abs(logits.shape[1] - self.vocab_size)
+                d2 = abs(logits.shape[2] - self.vocab_size)
+                if d1 < d2:
+                    logits = logits.swapaxes(1, 2)
+            elif logits.shape[1] < logits.shape[2]:
+                logits = logits.swapaxes(1, 2)
+            V = logits.shape[-1]
+            blank = self.blank_id
+            if blank is None:
+                # NeMo CTC puts blank last; FunASR puts it at 0.
+                blank = V - 1 if self.vocab_size and self.vocab_size < V else 0
+            ids = logits.argmax(axis=-1)  # [B, T]
+            # CTC collapse on device: emit where the id changes and isn't
+            # blank (prev-shift compare) — only [B, T] ints cross to host.
+            prev = jax.numpy.concatenate(
+                [jax.numpy.full((ids.shape[0], 1), -1, ids.dtype),
+                 ids[:, :-1]], axis=1)
+            emit = (ids != prev) & (ids != blank)
+            return ids, emit
 
         self._run = run
 
-    def _extra_inputs(self, B: int, n_frames: int) -> Dict[str, np.ndarray]:
+    def _lang_id(self, language: str) -> int:
+        if self.language_id is not None:
+            return self.language_id
+        return self.lid_table.get(language, self.lid_table.get("auto", 0))
+
+    def _extra_inputs(self, B: int, n_frames: int,
+                      language: str = "en") -> Dict[str, np.ndarray]:
         extra = {}
         for name, et, shape in self.int_inputs:
             low = name.lower()
@@ -351,17 +399,21 @@ class OnnxCtcEngine:
             if "len" in low:
                 v = np.full(B, n_frames, dt)
             elif "language" in low:
-                v = np.full(B, self.language_id, dt)
+                v = np.full(B, self._lang_id(language), dt)
             elif "textnorm" in low or "norm" in low:
                 v = np.full(B, self.textnorm_id, dt)
             else:
-                v = np.zeros(B, dt)
+                raise ValueError(
+                    f"cannot bind int input '{name}' of {self.name}: not a "
+                    "recognized length/language/textnorm input — refusing to "
+                    "zero-fill silently (pass explicit bindings or extend "
+                    "onnx_contracts)")
             if shape and len(shape) == 2:
                 v = v[:, None]
             extra[name] = v
         return extra
 
-    def _emissions(self, chunks_16k: np.ndarray):
+    def _emissions(self, chunks_16k: np.ndarray, language: str = "en"):
         """Greedy CTC emissions with frame times: per row (ids, times).
         With a mesh the chunk batch shards over 'data' (padded to dp)."""
         a = np.atleast_2d(np.asarray(chunks_16k, np.float32))
@@ -369,36 +421,19 @@ class OnnxCtcEngine:
         dur = a.shape[1] / 16000.0
         feats = _shard_data(self.frontend(a), self.mesh)
         n_frames = _frame_count(self.kind, a.shape[1])
-        logits = np.asarray(self._run(feats, self._extra_inputs(a.shape[0], n_frames)))[:B]
-        # orient to [B, T, V]: the vocab axis is the one sized like the vocab
-        if self.vocab_size:
-            d1 = abs(logits.shape[1] - self.vocab_size)
-            d2 = abs(logits.shape[2] - self.vocab_size)
-            if d1 < d2:
-                logits = logits.swapaxes(1, 2)
-        elif logits.shape[1] < logits.shape[2]:
-            logits = logits.swapaxes(1, 2)
-        V = logits.shape[-1]
-        blank = self.blank_id
-        if blank is None:
-            # NeMo CTC puts blank last; FunASR puts it at 0. Pick by vocab size.
-            blank = V - 1 if self.vocab_size and self.vocab_size < V else 0
-        frame_dur = dur / max(logits.shape[1], 1)
-        ids = logits.argmax(axis=-1)  # [B, T]
+        ids, emit = self._run(feats,
+                              self._extra_inputs(a.shape[0], n_frames, language))
+        ids, emit = np.asarray(ids)[:B], np.asarray(emit)[:B]
+        frame_dur = dur / max(ids.shape[1], 1)
         rows = []
         for b in range(B):
-            seq, times, prev = [], [], -1
-            for f, t in enumerate(ids[b]):
-                t = int(t)
-                if t != prev and t != blank:
-                    seq.append(t)
-                    times.append(f * frame_dur)
-                prev = t
-            rows.append((seq, times))
+            idx = np.flatnonzero(emit[b])
+            rows.append((ids[b, idx].astype(int).tolist(),
+                         (idx * frame_dur).tolist()))
         return rows, dur
 
     def transcribe_batch(self, chunks_16k: np.ndarray, language: str = "en") -> List[str]:
-        rows, _ = self._emissions(chunks_16k)
+        rows, _ = self._emissions(chunks_16k, language)
         return [self.decode_ids(seq) for seq, _times in rows]
 
     def transcribe_with_timestamps(self, chunk_16k, offset_seconds):

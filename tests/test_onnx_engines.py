@@ -58,17 +58,19 @@ def test_ctc_engine_gigaam_layout(tmp_path):
     # deterministic + batch-invariant
     assert texts == eng.transcribe_batch(chunks)
     assert texts[0] == eng.transcribe_batch(chunks[:1])[0]
-    # greedy-collapse semantics vs a manual decode of the same logits
+    # greedy-collapse semantics vs a manual decode of the same emissions
     feats = eng.frontend(chunks[:1])
-    logits = np.asarray(eng._run(feats, eng._extra_inputs(1, 16000 // 160 + 1)))
-    ids = logits[0].argmax(-1)
-    blank = logits.shape[-1] - 1  # vocab (7) < V (8) → NeMo blank-last
+    ids, emit = map(np.asarray,
+                    eng._run(feats, eng._extra_inputs(1, 16000 // 160 + 1)))
+    blank = 7  # vocab (7) < V (8) → NeMo blank-last
     seq, prev = [], -1
-    for t in ids:
+    for t in ids[0]:
         if t != prev and t != blank:
             seq.append(int(t))
         prev = int(t)
     assert texts[0] == eng.decode_ids(seq)
+    # the device emit mask IS the collapse (no per-frame host iteration)
+    assert seq == ids[0][emit[0]].astype(int).tolist()
 
 
 # ---------------------------------------------------------------------------
@@ -102,6 +104,69 @@ def test_ctc_engine_sensevoice_layout(tmp_path):
     texts = eng.transcribe_batch(chunks)
     assert len(texts) == 2
     assert texts == eng.transcribe_batch(chunks)
+
+
+def test_ctc_language_id_plumbed_per_call(tmp_path):
+    """`language` passed to transcribe_batch must reach the graph's language
+    input via the FunASR lid table (the reference passes language through
+    per call — commands/transcription.rs engine options)."""
+    from crispy_tpu.engine.onnx_engines import (
+        SENSEVOICE_LID, OnnxCtcEngine)
+
+    V = 12
+    rng = np.random.default_rng(7)
+    proj = rng.standard_normal((560, V)).astype(np.float32)
+    # zh (lid 3) forces token 3 at every frame; en (lid 4) leaves logits alone
+    shift = np.zeros((32, V), np.float32)
+    shift[SENSEVOICE_LID["zh"], 3] = 1e4
+    d = tmp_path
+    # logits = speech·proj + shift[language] — decode depends on the lid
+    nodes = [
+        ob.node("MatMul", ["speech", "proj"], ["lg"]),
+        ob.node("Gather", ["shift", "language"], ["lsh"], axis=0),  # [B, V]
+        ob.node("Unsqueeze", ["lsh", "ax1"], ["lsh3"]),             # [B, 1, V]
+        ob.node("Add", ["lg", "lsh3"], ["ctc_logits"]),
+    ]
+    ob.write_model(d / "model.int8.onnx", nodes,
+                   [("speech", F32, [None, None, 560]),
+                    ("speech_lengths", I32, [None]),
+                    ("language", I32, [None]),
+                    ("textnorm", I32, [None])],
+                   [("ctc_logits", F32, [None, None, V])],
+                   {"proj": proj, "shift": shift,
+                    "ax1": np.array([1], np.int64)})
+    write_vocab(d, ["<blank>"] + [f"▁w{i}" for i in range(V - 1)], "tokens.txt")
+    eng = OnnxCtcEngine(d, "sensevoice-lid", blank_id=0)
+    chunks = (np.random.default_rng(5).standard_normal((1, 32000)) * 0.2
+              ).astype(np.float32)
+    assert eng._lang_id("zh") == SENSEVOICE_LID["zh"]
+    assert eng._lang_id("unknown-lang") == SENSEVOICE_LID["auto"]
+    t_en = eng.transcribe_batch(chunks, language="en")
+    t_zh = eng.transcribe_batch(chunks, language="zh")
+    assert t_en == eng.transcribe_batch(chunks, language="en")  # deterministic
+    assert t_en != t_zh
+    assert t_zh == ["w2"]  # token 3 forced at every frame → one collapsed "▁w2"
+
+
+def test_ctc_unknown_int_input_is_loud(tmp_path):
+    """An int input that isn't a length/language/textnorm must raise, not
+    silently zero-fill (VERDICT r2: no silent misbinding)."""
+    from crispy_tpu.engine.onnx_engines import OnnxCtcEngine
+
+    V = 8
+    proj = np.random.default_rng(0).standard_normal((560, V)).astype(np.float32)
+    ob.write_model(tmp_path / "model.onnx",
+                   [ob.node("MatMul", ["speech", "proj"], ["ctc_logits"])],
+                   [("speech", F32, [None, None, 560]),
+                    ("mystery_int", I32, [None])],
+                   [("ctc_logits", F32, [None, None, V])], {"proj": proj})
+    write_vocab(tmp_path, [f"▁w{i}" for i in range(V - 1)], "tokens.txt")
+    eng = OnnxCtcEngine(tmp_path, "mystery", blank_id=0)
+    chunks = np.zeros((1, 16000), np.float32)
+    import pytest
+
+    with pytest.raises(ValueError, match="mystery_int"):
+        eng.transcribe_batch(chunks)
 
 
 # ---------------------------------------------------------------------------
