@@ -157,7 +157,7 @@ def group_word_segments(ids: List[int], times: List[float], pieces: Optional[Lis
     last_t = 0.0
 
     def flush(end):
-        text = "".join(cur).replace("▁", "").strip()
+        text = "".join(cur).replace("▁", "").replace("Ġ", "").strip()
         if text:
             words.append((cur_start, end, text))
         cur.clear()
@@ -166,7 +166,8 @@ def group_word_segments(ids: List[int], times: List[float], pieces: Optional[Lis
         piece = pieces[tid] if pieces and 0 <= tid < len(pieces) else f"<{tid}>"
         if not piece or _SPECIAL_RE.match(piece):
             continue
-        boundary = piece.startswith("▁") or piece.startswith(" ") or piece == " "
+        boundary = (piece.startswith("▁") or piece.startswith(" ")
+                    or piece.startswith("Ġ") or piece == " ")
         if boundary and cur:
             flush(tm)
         if not cur:
@@ -737,9 +738,17 @@ class OnnxEncDecEngine:
     serves every step — no per-step recompiles). KV-cache graph variants
     (HF optimum merged exports) run through their uncached branch via the
     executor's static If support, with zero-length past tensors.
+
+    The greedy loop is ONE `lax.while_loop` on device per length bucket
+    (short bucket first, escalating to the full padded length only for
+    rows that haven't emitted EOS) — host syncs per batch drop from
+    ~max_new to one per bucket, and silence/short chunks never pay the
+    full 224-step O(S²) cost. Beam search (beam>1) keeps the host loop
+    (beam reordering is a host-side row permutation).
     """
 
     name = "onnx-encdec"
+    SHORT_BUCKET = 48  # generated-token length of the first decode bucket
 
     def __init__(self, model_dir, model_id: str = "onnx-encdec",
                  max_new: int = 224, prompt_tokens: Optional[List[str]] = None,
@@ -764,6 +773,7 @@ class OnnxEncDecEngine:
         self.dec = OnnxRunner.load(dec_p).validate()
         self.decode_ids, self.vocab_size = load_tokenizer(model_dir)
         self.vocab_list = load_vocab_file(model_dir)
+        self.pieces = load_pieces(model_dir)
 
         ecls = _classify(self.enc)
         self.enc_feats_name, _, efs = ecls["float"][0]
@@ -890,9 +900,13 @@ class OnnxEncDecEngine:
             return self.prompt_ids
         return [lang if t == en else t for t in self.prompt_ids]
 
-    def transcribe_batch(self, chunks_16k: np.ndarray, language: str = "en") -> List[str]:
+    def _decode_rows(self, chunks_16k: np.ndarray,
+                     language: str = "en") -> Tuple[List[List[int]], float]:
+        """Encode + decode a chunk batch → (per-row generated token ids
+        up to EOS, chunk duration in seconds)."""
         a = np.atleast_2d(np.asarray(chunks_16k, np.float32))
         a, B = _pad_batch(a, self.mesh)
+        dur = a.shape[1] / 16000.0
         feats = _shard_data(self.frontend(a), self.mesh)
         n_frames = _frame_count(self.kind, a.shape[1])
         extra = {name: np.full(a.shape[0], n_frames, _np_dtype(et))
@@ -902,21 +916,105 @@ class OnnxEncDecEngine:
         prompt_ids = self.prompt_for_language(language)
         tokens = self._decode_tokens(enc_out, B, prompt_ids, self.beam)
         P = len(prompt_ids)
-        out = []
+        seqs = []
         for b in range(B):
             seq = []
             for tkn in tokens[b, P:]:
                 if int(tkn) == self.eos_id:
                     break
                 seq.append(int(tkn))
-            out.append(self.decode_ids(seq))
-        return out
+            seqs.append(seq)
+        return seqs, dur
+
+    def transcribe_batch(self, chunks_16k: np.ndarray, language: str = "en") -> List[str]:
+        seqs, _dur = self._decode_rows(chunks_16k, language)
+        return [self.decode_ids(seq) for seq in seqs]
 
     def _decode_tokens(self, enc_out, B: int, prompt_ids, beam: int = 1) -> np.ndarray:
-        """Padded-causal decode of [B(*beam)] rows → best tokens [B, S].
+        if beam == 1:
+            return self._greedy_device(enc_out, B, prompt_ids)
+        return self._beam_host(enc_out, B, prompt_ids, beam)
 
-        beam == 1 is plain greedy; beam > 1 runs beams as extra batch rows
-        with length-normalized final ranking. The decoder is stateless
+    # -- greedy: bucketed device while_loop ------------------------------------
+    def _loop_fn(self, S: int, P: int):
+        """One jitted lax.while_loop greedy decode over tokens[:, :S]."""
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        key = (S, P)
+        cache = getattr(self, "_loop_fns", None)
+        if cache is None:
+            cache = self._loop_fns = {}
+        if key in cache:
+            return cache[key]
+        decode = self._decode
+        eos = self.eos_id
+
+        def loop(tokens, enc_out, extra, s0, done0):
+            R = tokens.shape[0]
+
+            def cond(st):
+                s, _toks, done = st
+                return (s < S) & jnp.logical_not(jnp.all(done))
+
+            def body(st):
+                s, toks, done = st
+                logits = decode(toks, enc_out, extra)  # [R, S, V]
+                lg = lax.dynamic_slice_in_dim(logits, s - 1, 1, axis=1)[:, 0]
+                nxt = jnp.argmax(lg, axis=-1).astype(toks.dtype)
+                nxt = jnp.where(done, eos, nxt)
+                toks = lax.dynamic_update_slice(toks, nxt[:, None], (0, s))
+                done = done | (nxt == eos)
+                if S - P >= 8:  # static: the guard can never fire otherwise
+                    # degenerate-loop guard: 8 identical trailing tokens →
+                    # cut at s-6, keeping one repeat (host-path semantics)
+                    win = lax.dynamic_slice(toks, (0, jnp.maximum(s - 7, 0)),
+                                            (R, 8))
+                    stuck = (jnp.all(win == win[:, -1:], axis=1)
+                             & (s - P >= 8) & jnp.logical_not(done))
+                    at = jnp.maximum(s - 6, 0)
+                    cur = lax.dynamic_slice(toks, (0, at), (R, 1))
+                    toks = lax.dynamic_update_slice(
+                        toks, jnp.where(stuck[:, None], eos, cur), (0, at))
+                    done = done | stuck
+                return s + 1, toks, done
+
+            _s, toks, done = lax.while_loop(cond, body, (s0, tokens, done0))
+            return toks, done
+
+        fn = jax.jit(loop)
+        cache[key] = fn
+        return fn
+
+    def _greedy_device(self, enc_out, B: int, prompt_ids) -> np.ndarray:
+        import jax.numpy as jnp
+
+        P = len(prompt_ids)
+        S_full = P + self.max_new
+        buckets = sorted({min(P + self.SHORT_BUCKET, S_full), S_full})
+        tokens = np.zeros((B, S_full), np.int32)
+        tokens[:, :P] = prompt_ids
+        done = np.zeros(B, bool)
+        s0 = P
+        for S in buckets:
+            extra = self._zero_states(B)
+            for name, et, _shape in self.dec_ints:
+                extra[name] = np.full(B, S, _np_dtype(et))
+            fn = self._loop_fn(S, P)
+            toks_S, done_d = fn(jnp.asarray(tokens[:, :S]), enc_out, extra,
+                                jnp.int32(s0), jnp.asarray(done))
+            done = np.asarray(done_d)       # ← the one host sync per bucket
+            tokens[:, :S] = np.asarray(toks_S)
+            if done.all():
+                break
+            s0 = S  # escalate: continue the unfinished rows at full length
+        return tokens.astype(np.int64)
+
+    # -- beam search: host loop (row-permutation reordering) -------------------
+    def _beam_host(self, enc_out, B: int, prompt_ids, beam: int) -> np.ndarray:
+        """Beam decode of [B*beam] rows → best tokens [B, S], with
+        length-normalized final ranking. The decoder is stateless
         (full-prefix at a fixed padded length), so beam reordering is a
         host-side row permutation of the token prefixes — no KV caches to
         shuffle.
@@ -924,8 +1022,7 @@ class OnnxEncDecEngine:
         P = len(prompt_ids)
         S = P + self.max_new
         R = B * beam
-        if beam > 1:
-            enc_out = np.repeat(np.asarray(enc_out), beam, axis=0)
+        enc_out = np.repeat(np.asarray(enc_out), beam, axis=0)
         tokens = np.zeros((R, S), np.int64)
         tokens[:, :P] = prompt_ids
         done = np.zeros(R, bool)
@@ -935,41 +1032,35 @@ class OnnxEncDecEngine:
             state_extra[name] = np.full(R, S, _np_dtype(et))
         for s in range(P, S):
             logits = np.asarray(self._decode(tokens, enc_out, state_extra))[:, s - 1]
-            if beam == 1:
-                nxt = logits.argmax(axis=-1)
-                nxt = np.where(done, self.eos_id, nxt)
-                tokens[:, s] = nxt
-                done |= nxt == self.eos_id
+            V = logits.shape[-1]
+            lp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)
+                                        ).sum(-1, keepdims=True)) - logits.max(-1, keepdims=True)
+            lp = lp.reshape(B, beam, V)
+            frozen = np.full(V, -np.inf)
+            frozen[self.eos_id] = 0.0
+            lp = np.where(done.reshape(B, beam)[..., None], frozen, lp)
+            if s == P:
+                # all beams identical at the first step: expand beam 0 only
+                cand = cum[:, :1] + lp[:, 0]  # [B, V]
+                order = np.argsort(-cand, axis=-1)[:, :beam]
+                parent = np.zeros((B, beam), np.int64)
+                tok = order
+                cum = np.take_along_axis(cand, order, axis=-1)
             else:
-                V = logits.shape[-1]
-                lp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)
-                                            ).sum(-1, keepdims=True)) - logits.max(-1, keepdims=True)
-                lp = lp.reshape(B, beam, V)
-                frozen = np.full(V, -np.inf)
-                frozen[self.eos_id] = 0.0
-                lp = np.where(done.reshape(B, beam)[..., None], frozen, lp)
-                if s == P:
-                    # all beams identical at the first step: expand beam 0 only
-                    cand = cum[:, :1] + lp[:, 0]  # [B, V]
-                    order = np.argsort(-cand, axis=-1)[:, :beam]
-                    parent = np.zeros((B, beam), np.int64)
-                    tok = order
-                    cum = np.take_along_axis(cand, order, axis=-1)
-                else:
-                    cand = (cum[..., None] + lp).reshape(B, beam * V)
-                    order = np.argsort(-cand, axis=-1)[:, :beam]
-                    parent = order // V
-                    tok = order % V
-                    cum = np.take_along_axis(cand, order, axis=-1)
-                rows = (np.arange(B)[:, None] * beam + parent).reshape(-1)
-                tokens = tokens[rows]
-                done = done[rows]
-                tokens[:, s] = tok.reshape(-1)
-                done |= tokens[:, s] == self.eos_id
+                cand = (cum[..., None] + lp).reshape(B, beam * V)
+                order = np.argsort(-cand, axis=-1)[:, :beam]
+                parent = order // V
+                tok = order % V
+                cum = np.take_along_axis(cand, order, axis=-1)
+            rows = (np.arange(B)[:, None] * beam + parent).reshape(-1)
+            tokens = tokens[rows]
+            done = done[rows]
+            tokens[:, s] = tok.reshape(-1)
+            done |= tokens[:, s] == self.eos_id
             if s - P >= 8:
-                # degenerate-loop guard: a greedy AR decoder stuck emitting
-                # one token (e.g. on silence) is cut (one instance kept)
-                # instead of running to the max_new cap
+                # degenerate-loop guard: a beam stuck emitting one token
+                # (e.g. on silence) is cut (one instance kept) instead of
+                # running to the max_new cap
                 stuck = (~done) & (tokens[:, s - 7: s + 1]
                                    == tokens[:, s: s + 1]).all(axis=1)
                 if stuck.any():
@@ -977,8 +1068,6 @@ class OnnxEncDecEngine:
                     done |= stuck
             if done.all():
                 break
-        if beam == 1:
-            return tokens
         # length-normalized ranking over finished beams (whisper convention)
         toks3 = tokens.reshape(B, beam, S)
         lengths = np.full((B, beam), self.max_new, np.int64)
@@ -991,10 +1080,28 @@ class OnnxEncDecEngine:
         return toks3[np.arange(B), best]
 
     def transcribe_with_timestamps(self, chunk_16k, offset_seconds):
-        text = self.transcribe_batch(chunk_16k[None, :])[0]
-        dur = len(chunk_16k) / 16000.0
-        return [(offset_seconds, offset_seconds + dur, text)] if text.strip() else []
+        return self.transcribe_batch_with_timestamps(
+            np.atleast_2d(chunk_16k), [offset_seconds])[0]
 
     def transcribe_batch_with_timestamps(self, chunks, offsets):
-        return [self.transcribe_with_timestamps(chunks[j], offsets[j])
-                for j in range(len(chunks))]
+        """Word segments from ONE batched decode. An AR decoder without
+        cross-attention outputs has no frame alignment, so token times are
+        spread proportionally over the chunk — coarse but word-granular,
+        which is what diarization's word-midpoint lookup needs
+        (managers/transcription.rs:196-249)."""
+        seqs, dur = self._decode_rows(chunks)
+        out = []
+        for seq, off in zip(seqs, offsets):
+            if not seq:
+                out.append([])
+                continue
+            words = []
+            if self.pieces is not None:
+                n = len(seq)
+                times = [dur * i / n for i in range(n)]
+                words = group_word_segments(seq, times, self.pieces, dur)
+            if not words:
+                text = self.decode_ids(seq)
+                words = [(0.0, dur, text)] if text.strip() else []
+            out.append([(s + off, e + off, w) for s, e, w in words])
+        return out

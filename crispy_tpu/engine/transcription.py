@@ -154,11 +154,24 @@ class EngineProtocol:
     def transcribe_batch_with_timestamps(
         self, chunks_16k: np.ndarray, offsets_seconds: List[float]
     ) -> List[List[Tuple[float, float, str]]]:
-        """Batched timestamped decode; default delegates per chunk. Engines
-        with a batched decoder override (whisper decodes all B rows in one
-        compiled call so diarization-enabled jobs keep the batch advantage)."""
-        return [self.transcribe_with_timestamps(chunks_16k[j], offsets_seconds[j])
-                for j in range(len(chunks_16k))]
+        """Batched timestamped decode. The default runs ONE batched
+        transcribe_batch call and returns whole-chunk segments (the
+        reference's fallback granularity, managers/transcription.rs:196-249)
+        — so diarization-enabled jobs keep the batch advantage even for
+        engines without word-level timestamps. Engines with word alignment
+        (whisper, the ONNX CTC/TDT/enc-dec engines) override. An engine
+        that overrides only the single-chunk method keeps its word
+        granularity (delegation preserved)."""
+        if (type(self).transcribe_with_timestamps
+                is not EngineProtocol.transcribe_with_timestamps):
+            return [self.transcribe_with_timestamps(chunks_16k[j],
+                                                    offsets_seconds[j])
+                    for j in range(len(chunks_16k))]
+        a = np.atleast_2d(np.asarray(chunks_16k))
+        texts = self.transcribe_batch(a)
+        dur = a.shape[1] / TARGET_SAMPLE_RATE
+        return [[(off, off + dur, t)] if t.strip() else []
+                for t, off in zip(texts, offsets_seconds)]
 
 
 def load_engine(model_id: str, model_manager: ModelManager,

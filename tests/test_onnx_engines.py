@@ -368,6 +368,27 @@ def test_encdec_engine_canary_prompt_and_decode(tmp_path):
     assert eng.decode_ids(toks[len(eng.prompt_ids):]) == texts[0]
 
 
+def test_encdec_bucket_escalation_matches_single_bucket(tmp_path):
+    """The short-bucket-then-escalate device decode must equal a single
+    full-length decode (greedy is deterministic and causal, so continuing
+    from the short bucket's prefix is exact)."""
+    from crispy_tpu.engine.onnx_engines import OnnxEncDecEngine
+
+    d = make_canary_bundle(tmp_path)
+    bucketed = OnnxEncDecEngine(d, "canary-bucketed", max_new=24)
+    bucketed.SHORT_BUCKET = 4  # force escalation for any non-trivial output
+    single = OnnxEncDecEngine(d, "canary-single", max_new=24)
+    single.SHORT_BUCKET = 10_000  # one full-length bucket only
+    rng = np.random.default_rng(21)
+    chunks = (rng.standard_normal((3, 16000)) * 0.3).astype(np.float32)
+    tb = bucketed.transcribe_batch(chunks)
+    ts = single.transcribe_batch(chunks)
+    assert tb == ts
+    # the bucketed engine really compiled two loop lengths
+    assert len(bucketed._loop_fns) == 2
+    assert len(single._loop_fns) == 1
+
+
 def make_merged_decoder_bundle(d, V=12, D=6, E=4, seed=11):
     """HF-optimum style: encoder_model.onnx + decoder_model_merged.onnx with
     a use_cache_branch If and past_key_values inputs (fed zero-length)."""
