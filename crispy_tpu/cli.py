@@ -131,6 +131,26 @@ def _cmd_models(args) -> int:
         print(json.dumps({"active": args.model_id}))
     elif args.action == "delete":
         print(json.dumps({"deleted": app.delete_model(args.model_id)}))
+    elif args.action == "validate":
+        # turnkey real-artifact validation: load the REAL bundle through
+        # the normal engine path, decode the committed 10 s utterance,
+        # optionally pin golden tokens (consumed by
+        # tests/test_real_artifacts.py, skipped unless downloaded)
+        from pathlib import Path as _P
+
+        from .models import validate as val
+
+        if not app.model_manager.is_downloaded(args.model_id):
+            print(json.dumps({"error": f"{args.model_id} is not downloaded"}))
+            return 1
+        result = val.validate_model(args.model_id, app.model_manager,
+                                    mesh=app.mesh, language=args.language)
+        print(json.dumps(result, indent=2, ensure_ascii=False))
+        if args.pin is not None:
+            dest = (_P(args.pin) if args.pin
+                    else val.golden_path(_P.cwd(), args.model_id))
+            val.pin_golden(result, dest)
+            print(f"pinned → {dest}", file=sys.stderr)
     elif args.action == "inspect":
         # bundle debugging: file inventory + ONNX graph I/O + op histogram
         from collections import Counter
@@ -221,10 +241,14 @@ def _cmd_bench(args) -> int:
 
 
 def _cmd_serve(args) -> int:
-    from .api.stream_server import StreamServer
+    from .api.commands import CrispyApp
+    from .api.web_server import WebServer
 
-    srv = StreamServer(port=args.port).start()
-    print(json.dumps({"url": f"http://127.0.0.1:{srv.port}/", "root": str(srv.root)}))
+    app = CrispyApp()
+    srv = WebServer(app, port=args.port).start()
+    print(json.dumps({"url": srv.url,
+                      "recordings": app.get_recordings_dir_path()}))
+    sys.stdout.flush()
     try:
         while True:
             time.sleep(3600)
@@ -259,8 +283,13 @@ def main(argv=None) -> int:
     t.set_defaults(fn=_cmd_transcribe)
 
     m = sub.add_parser("models", help="model catalog / downloads / selection")
-    m.add_argument("action", choices=["list", "download", "set", "delete", "inspect"])
+    m.add_argument("action", choices=["list", "download", "set", "delete",
+                                      "inspect", "validate"])
     m.add_argument("model_id", nargs="?")
+    m.add_argument("--language", default="en")
+    m.add_argument("--pin", nargs="?", const="", default=None, metavar="PATH",
+                   help="write the golden record (default: "
+                        "tests/goldens/real_artifacts/<id>.json under the cwd)")
     m.set_defaults(fn=_cmd_models)
 
     rec = sub.add_parser("recordings", help="recordings CRUD")

@@ -225,27 +225,32 @@ def _resolve_frontend(model_dir, feats_shape):
 
 
 def _classify(runner: OnnxRunner) -> Dict[str, list]:
-    """Split runtime inputs into float tensors, int tensors, state-like."""
-    floats, ints, states, bools = [], [], [], []
-    for name, et, shape in runner.input_info():
-        low = name.lower()
-        if et == 9:
-            bools.append((name, shape))
-        elif ("past" in low
-              or ("cache" in low and "use_cache" not in low)
-              or ("state" in low and "encoder" not in low and "hidden" not in low)):
-            states.append((name, et, shape))
-        elif et in _INT_TYPES or et is None and ("len" in low or "target" in low):
-            ints.append((name, et, shape))
-        else:
-            floats.append((name, et, shape))
-    return {"float": floats, "int": ints, "state": states, "bool": bools}
+    """Split runtime inputs into float tensors, int tensors, state-like —
+    exact published contracts first, substring heuristics as fallback
+    (onnx_contracts.classify_inputs)."""
+    from .onnx_contracts import classify_inputs
+
+    return classify_inputs(runner)
 
 
 def _np_dtype(et: Optional[int]):
     from ..models.onnx_import import _DTYPES
 
     return _DTYPES.get(et or 1, np.dtype(np.float32))
+
+
+def _length_extra(ints, roles, B: int, n_frames: int, where: str) -> Dict[str, np.ndarray]:
+    """Bind an encoder's int inputs: length-role inputs get the frame
+    count; anything unrecognized raises (no silent zero-fill)."""
+    extra = {}
+    for name, et, _shape in ints:
+        if roles.get(name) != "length":
+            raise ValueError(
+                f"cannot bind int input '{name}' of {where}: not a "
+                "recognized length input — extend onnx_contracts with the "
+                "exporter's contract")
+        extra[name] = np.full(B, n_frames, _np_dtype(et))
+    return extra
 
 
 def _pick_frontend(shape: List[Optional[int]]):
@@ -341,6 +346,7 @@ class OnnxCtcEngine:
         self.feats_name, _, feats_shape = cls["float"][0]
         self.frontend, self.kind = _pick_frontend(feats_shape)
         self.int_inputs = cls["int"]
+        self.roles = cls["roles"]
         self.blank_id = blank_id
         self.lid_table, self.textnorm_table = _load_id_tables(model_dir)
         self.language_id = language_id  # fixed override; None = per-call table
@@ -395,20 +401,20 @@ class OnnxCtcEngine:
                       language: str = "en") -> Dict[str, np.ndarray]:
         extra = {}
         for name, et, shape in self.int_inputs:
-            low = name.lower()
+            role = self.roles.get(name)
             dt = _np_dtype(et)
-            if "len" in low:
+            if role == "length":
                 v = np.full(B, n_frames, dt)
-            elif "language" in low:
+            elif role == "language":
                 v = np.full(B, self._lang_id(language), dt)
-            elif "textnorm" in low or "norm" in low:
+            elif role == "textnorm":
                 v = np.full(B, self.textnorm_id, dt)
             else:
                 raise ValueError(
                     f"cannot bind int input '{name}' of {self.name}: not a "
                     "recognized length/language/textnorm input — refusing to "
-                    "zero-fill silently (pass explicit bindings or extend "
-                    "onnx_contracts)")
+                    "zero-fill silently (extend onnx_contracts with the "
+                    "exporter's contract)")
             if shape and len(shape) == 2:
                 v = v[:, None]
             extra[name] = v
@@ -510,11 +516,21 @@ class OnnxTdtEngine:
         self.enc_feats_name, _, efs = ecls["float"][0]
         self.frontend, self.kind = _resolve_frontend(model_dir, efs)
         self.enc_ints = ecls["int"]
+        self.enc_roles = ecls["roles"]
 
         dcls = _classify(self.dec)
         self.dec_enc_name, _, self.dec_enc_shape = dcls["float"][0]
         self.dec_ints = dcls["int"]
         self.dec_states = dcls["state"]
+        self.dec_roles = dcls["roles"]
+        for name, _et, _sh in self.dec_ints:
+            if self.dec_roles.get(name) not in ("targets", "target_length",
+                                                "length"):
+                raise ValueError(
+                    f"cannot bind int input '{name}' of the decoder_joint "
+                    f"graph in {model_dir}: not a recognized targets/"
+                    "target_length input — extend onnx_contracts with the "
+                    "exporter's contract")
 
         enc_runner, dec_runner = self.enc, self.dec
 
@@ -542,15 +558,13 @@ class OnnxTdtEngine:
             for (name, _, _), s in zip(self.dec_states, states):
                 inputs[name] = s
             for name, et, shape in self.dec_ints:
-                low = name.lower()
+                role = self.dec_roles.get(name)
                 dt = _np_dtype(et)
-                if "target_len" in low or ("len" in low and "target" in low):
-                    v = np.ones(targets.shape[0], dt)
-                elif "target" in low or "label" in low or "id" in low:
+                if role == "targets":
                     v = targets.astype(dt)
                     if not (shape and len(shape) == 2):
                         v = v[:, 0]
-                else:
+                else:  # target_length / length: one label per step
                     v = np.ones(targets.shape[0], dt)
                 inputs[name] = v
             out = dec_runner(**inputs)
@@ -608,9 +622,8 @@ class OnnxTdtEngine:
         chunk_dur = a.shape[1] / 16000.0
         feats = _shard_data(self.frontend(a), self.mesh)
         n_frames = _frame_count(self.kind, a.shape[1])
-        extra = {}
-        for name, et, shape in self.enc_ints:
-            extra[name] = np.full(a.shape[0], n_frames, _np_dtype(et))
+        extra = _length_extra(self.enc_ints, self.enc_roles, a.shape[0],
+                              n_frames, f"{self.name} encoder")
         enc = np.asarray(self._encode(feats, extra))
         if self._enc_time_last(enc.shape):  # [B, D, T'] → [B, T', D]
             enc = enc.swapaxes(1, 2)
@@ -779,19 +792,34 @@ class OnnxEncDecEngine:
         self.enc_feats_name, _, efs = ecls["float"][0]
         self.frontend, self.kind = _resolve_frontend(model_dir, efs)
         self.enc_ints = ecls["int"]
+        self.enc_roles = ecls["roles"]
 
         dcls = _classify(self.dec)
+        self.dec_roles = dcls["roles"]
+        # token-ids input: exact contract name first (input_ids /
+        # decoder_input_ids), then heuristic tokens/targets role
+        from .onnx_contracts import input_role
+
         self.dec_tok = None
-        for name, et, shape in dcls["int"]:
-            low = name.lower()
-            if "id" in low or "token" in low or "target" in low or "decoder_input" in low:
-                self.dec_tok = (name, et, shape)
+        for want_exact in (True, False):
+            for name, et, shape in dcls["int"]:
+                role, prov = input_role(name, et)
+                if role in ("tokens", "targets") and (prov == "exact") == want_exact:
+                    self.dec_tok = (name, et, shape)
+                    break
+            if self.dec_tok is not None:
                 break
         if self.dec_tok is None and dcls["int"]:
             self.dec_tok = dcls["int"][0]
         if self.dec_tok is None:
             raise ValueError("decoder graph has no token-ids input")
         self.dec_ints = [i for i in dcls["int"] if i[0] != self.dec_tok[0]]
+        for name, _et, _sh in self.dec_ints:
+            if self.dec_roles.get(name) not in ("length", "target_length"):
+                raise ValueError(
+                    f"cannot bind int input '{name}' of the decoder graph "
+                    f"in {model_dir}: not a recognized length input — "
+                    "extend onnx_contracts with the exporter's contract")
         self.dec_enc = dcls["float"][0] if dcls["float"] else None
         self.dec_states = dcls["state"]
         self.dec_bools = dcls["bool"]
@@ -909,8 +937,8 @@ class OnnxEncDecEngine:
         dur = a.shape[1] / 16000.0
         feats = _shard_data(self.frontend(a), self.mesh)
         n_frames = _frame_count(self.kind, a.shape[1])
-        extra = {name: np.full(a.shape[0], n_frames, _np_dtype(et))
-                 for name, et, _ in self.enc_ints}
+        extra = _length_extra(self.enc_ints, self.enc_roles, a.shape[0],
+                              n_frames, f"{self.name} encoder")
         enc_out = np.asarray(self._encode(feats, extra))[:B]
 
         prompt_ids = self.prompt_for_language(language)

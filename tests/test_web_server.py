@@ -1,0 +1,123 @@
+"""Web UI server: /api command dispatch, SSE event bridge, Range
+streaming, and the static page (the product surface the reference ships
+as src/App.tsx + components, served from `crispy serve`)."""
+
+import json
+import socket
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from crispy_tpu.api.commands import CrispyApp
+from crispy_tpu.api.events import EventBus
+from crispy_tpu.api.web_server import COMMANDS, WebServer
+from crispy_tpu.io import wav as wavio
+from crispy_tpu.utils import paths
+
+
+@pytest.fixture
+def served(data_root):
+    app = CrispyApp(bus=EventBus())
+    srv = WebServer(app, port=0).start()
+    yield app, srv
+    srv.stop()
+
+
+def _get(srv, path, headers=None):
+    req = urllib.request.Request(f"http://127.0.0.1:{srv.port}{path}",
+                                 headers=headers or {})
+    return urllib.request.urlopen(req, timeout=10)
+
+
+def _api(srv, name, body=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/api/{name}",
+        data=json.dumps(body or {}).encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def test_static_page_and_api_dispatch(served):
+    app, srv = served
+    with _get(srv, "/") as r:
+        page = r.read().decode()
+    assert "Crispy" in page and "/events" in page and "/api/" in page
+
+    models = _api(srv, "get_available_models")
+    assert isinstance(models, list) and len(models) >= 13
+    assert _api(srv, "get_platform") in ("linux", "darwin", "windows")
+    # setter round-trip through the API surface
+    _api(srv, "set_app_setting", {"key": "diarization_enabled", "value": "true"})
+    assert _api(srv, "get_app_settings")["diarization_enabled"] == "true"
+
+
+def test_api_unknown_and_bad_args(served):
+    _app, srv = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _api(srv, "quit_app")  # excluded from the whitelist
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _api(srv, "set_active_model", {"bogus_kw": 1})
+    assert e.value.code == 400
+    # command-level errors surface as the reference's Result<_, String>
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _api(srv, "start_transcription", {"recording_path": "/nope.wav"})
+    assert e.value.code == 500
+    assert "error" in json.loads(e.value.read())
+
+
+def test_stream_range_confinement(served):
+    _app, srv = served
+    rec_dir = paths.recordings_dir()
+    rec_dir.mkdir(parents=True, exist_ok=True)
+    p = rec_dir / "clip.wav"
+    wavio.write_wav(p, np.zeros(4800, np.float32), 48000)
+    size = p.stat().st_size
+
+    with _get(srv, f"/stream?path={p}") as r:
+        assert r.status == 200
+        assert len(r.read()) == size
+    with _get(srv, f"/stream?path={p}", {"Range": "bytes=4-19"}) as r:
+        assert r.status == 206
+        assert r.headers["Content-Range"] == f"bytes 4-19/{size}"
+        assert len(r.read()) == 16
+    # path confinement: files outside the recordings dir are refused
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(srv, "/stream?path=/etc/hostname")
+    assert e.value.code in (403, 404)
+
+
+def test_sse_bridge_delivers_bus_events(served):
+    app, srv = served
+    got = {}
+
+    def reader():
+        req = urllib.request.Request(f"http://127.0.0.1:{srv.port}/events")
+        with urllib.request.urlopen(req, timeout=10) as r:
+            event = None
+            for raw in r:
+                line = raw.decode().strip()
+                if line.startswith("event:"):
+                    event = line[6:].strip()
+                elif line.startswith("data:") and event:
+                    got[event] = json.loads(line[5:])
+                    if event == "transcription-progress":
+                        return
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    time.sleep(0.3)  # let the subscription land
+    app.bus.emit("microphone-level", {"level": 0.5})
+    app.bus.emit("transcription-progress",
+                 {"recording_path": "/r.wav", "progress": 0.25, "eta_seconds": 9})
+    t.join(timeout=10)
+    assert got.get("microphone-level") == {"level": 0.5}
+    assert got.get("transcription-progress", {}).get("progress") == 0.25
+
+
+def test_whitelist_matches_app_surface():
+    missing = [c for c in COMMANDS if not hasattr(CrispyApp, c)]
+    assert not missing, f"whitelisted commands without methods: {missing}"
