@@ -40,11 +40,12 @@ class CrispyApp:
         if mesh is None:
             import os
 
-            if os.environ.get("CRISPY_MESH", "").lower() == "auto":
-                mesh = "auto"
+            flag = os.environ.get("CRISPY_MESH", "auto").lower()
+            # default ON: shard over every visible chip when more than one
+            # exists (SURVEY §2.8); CRISPY_MESH=off/0/none opts out, and a
+            # single chip stays mesh-less (latency-optimal for small jobs)
+            mesh = None if flag in ("off", "0", "none", "false") else "auto"
         if mesh == "auto":
-            # shard over every visible chip (CRISPY_MESH=auto opts in; the
-            # single-chip default keeps small jobs latency-optimal)
             import jax
 
             from .. import parallel

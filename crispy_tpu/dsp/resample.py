@@ -201,14 +201,27 @@ def resample_poly(
             np.float32
         )
 
+    fn = make_resampler_jax(from_rate, to_rate, x.size)
+    return np.asarray(fn(x), dtype=np.float32)
+
+
+def make_resampler_jax(from_rate: int, to_rate: int, n_samples: int):
+    """Jittable device-resident polyphase resampler for a fixed input
+    length (the conv formulation of resample_poly's TPU branch). Returns
+    a function jnp [n_samples] → jnp [ceil(n*up/down)] that stays on
+    device — composable into larger jitted pipelines (mix, dual-mono)."""
     import jax.numpy as jnp
     from jax import lax
+
+    g = math.gcd(int(from_rate), int(to_rate))
+    up, down = int(to_rate) // g, int(from_rate) // g
+    h = _kaiser_sinc_filter(up, down)
 
     # True polyphase as one strided conv: y[b*up + c] = sum_t xpad[b*down + t]
     # * F[c, t] where F[c, t] = h[pad + up*(i_lo + t) - down*c] (0 outside).
     L = h.size
     pad = L // 2
-    nout = int(np.ceil(x.size * up / down))
+    nout = int(np.ceil(n_samples * up / down))
     i_lo = int(np.floor(-pad / up))
     i_hi = int(np.floor((down * (up - 1) - pad + L - 1) / up))
     T = i_hi - i_lo + 1
@@ -218,12 +231,15 @@ def resample_poly(
     F = np.where((hidx >= 0) & (hidx < L), h[np.clip(hidx, 0, L - 1)], 0.0)
     B = -(-nout // up)
     lpad = -i_lo
-    rpad = max(0, (B - 1) * down + i_hi + 1 - x.size)
-    xp = jnp.pad(jnp.asarray(x), (lpad, rpad))[None, None, :]
-    out = lax.conv_general_dilated(
-        xp, jnp.asarray(F, jnp.float32)[:, None, :],
-        window_strides=(down,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )[0]  # [up, B]
-    y = out.T.reshape(-1)[:nout]
-    return np.asarray(y, dtype=np.float32)
+    rpad = max(0, (B - 1) * down + i_hi + 1 - n_samples)
+    Fj = jnp.asarray(F, jnp.float32)[:, None, :]
+
+    def fn(x):
+        xp = jnp.pad(jnp.asarray(x), (lpad, rpad))[None, None, :]
+        out = lax.conv_general_dilated(
+            xp, Fj, window_strides=(down,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )[0]  # [up, B]
+        return out.T.reshape(-1)[:nout]
+
+    return fn

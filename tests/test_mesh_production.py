@@ -143,3 +143,17 @@ def test_app_auto_mesh(data_root, monkeypatch):
     app = CrispyApp(bus=EventBus())
     assert app.mesh is not None
     assert app.transcription_manager.mesh is app.mesh
+
+
+def test_app_mesh_default_on_with_off_switch(data_root, monkeypatch):
+    """With >1 visible device the mesh is ON by default (no env needed);
+    CRISPY_MESH=off opts out (VERDICT r2 #9)."""
+    from crispy_tpu.api.commands import CrispyApp
+
+    monkeypatch.delenv("CRISPY_MESH", raising=False)
+    app = CrispyApp(bus=EventBus())
+    assert app.mesh is not None  # 8 virtual devices in this suite
+
+    monkeypatch.setenv("CRISPY_MESH", "off")
+    app_off = CrispyApp(bus=EventBus())
+    assert app_off.mesh is None
