@@ -70,15 +70,7 @@ def synth_batch(rng: np.random.Generator, S: int, F: int, sr: int = 48000):
         clean[s] = (0.3 * sig * env_s).astype(np.float32)
         voiced[s] = (env > 0.05).astype(np.float32)
 
-    # broadband noise with random spectral tilt
-    white = rng.standard_normal((S, L)).astype(np.float32)
-    tilt = rng.uniform(0.0, 0.95, (S, 1)).astype(np.float32)
-    noise = np.empty_like(white)
-    noise[:, 0] = white[:, 0]
-    for s in range(S):  # one-pole lowpass per stream (vectorized via lfilter)
-        from scipy.signal import lfilter
-
-        noise[s] = lfilter([1.0], [1.0, -float(tilt[s, 0])], white[s]).astype(np.float32)
+    noise = np.stack([_synth_noise(rng, L, sr, t) for _ in range(S)])
     noise /= np.maximum(np.abs(noise).max(axis=1, keepdims=True), 1e-6)
     snr_db = rng.uniform(-5, 25, (S, 1)).astype(np.float32)
     c_rms = np.sqrt(np.mean(clean**2, axis=1, keepdims=True) + 1e-9)
@@ -86,6 +78,66 @@ def synth_batch(rng: np.random.Generator, S: int, F: int, sr: int = 48000):
     noise = noise * (c_rms / n_rms) * (10 ** (-snr_db / 20))
     noisy = np.clip(clean + noise, -1.0, 1.0)
     return clean, noisy, voiced
+
+
+def _synth_noise(rng: np.random.Generator, L: int, sr: int,
+                 t: np.ndarray) -> np.ndarray:
+    """One noise stream from a random mix of synthetic families.
+
+    No real noise corpora are reachable in this environment (zero egress),
+    so diversity comes from families modeled on the common real-world
+    classes: spectrally tilted broadband (fans/wind), band-limited hiss,
+    babble (competing harmonic talkers), mains hum + harmonics, impulsive
+    clicks, and burst-modulated (non-stationary) broadband.
+    """
+    from scipy.signal import lfilter
+
+    kinds = rng.choice(6, size=rng.integers(1, 3), replace=False)
+    parts = []
+    for kind in kinds:
+        if kind == 0:  # tilted broadband (the original family)
+            tilt = float(rng.uniform(0.0, 0.95))
+            x = lfilter([1.0], [1.0, -tilt], rng.standard_normal(L))
+        elif kind == 1:  # band-limited hiss (2nd-order resonator)
+            f_c = float(rng.uniform(300, 8000))
+            bw = float(rng.uniform(0.02, 0.3))
+            r = 1.0 - bw
+            th = 2 * np.pi * f_c / sr
+            x = lfilter([1.0], [1.0, -2 * r * np.cos(th), r * r],
+                        rng.standard_normal(L))
+        elif kind == 2:  # babble: 3-6 low-level harmonic "talkers"
+            x = np.zeros(L)
+            for _ in range(int(rng.integers(3, 7))):
+                f0 = float(rng.uniform(90, 280))
+                ph = float(rng.uniform(0, 2 * np.pi))
+                env = np.abs(lfilter([1e-3], [1.0, -0.999],
+                                     rng.standard_normal(L)))
+                x += env * np.sin(2 * np.pi * f0 * t + ph)
+        elif kind == 3:  # mains hum + harmonics with slow AM
+            base = float(rng.choice([50.0, 60.0]))
+            x = np.zeros(L)
+            for k in range(1, int(rng.integers(3, 8))):
+                x += (1.0 / k) * np.sin(2 * np.pi * base * k * t
+                                        + float(rng.uniform(0, 2 * np.pi)))
+            x *= 1.0 + 0.3 * np.sin(2 * np.pi * float(rng.uniform(0.2, 2.0)) * t)
+        elif kind == 4:  # impulsive clicks (sparse impulses, decaying tails)
+            x = np.zeros(L)
+            n_clicks = int(rng.integers(2, max(3, L // 24000) + 4))
+            pos = rng.integers(0, L, n_clicks)
+            x[pos] = rng.uniform(-1, 1, n_clicks)
+            x = lfilter([1.0], [1.0, -float(rng.uniform(0.9, 0.995))], x)
+        else:  # burst-modulated broadband (non-stationary)
+            gate = (lfilter([1e-2], [1.0, -0.9995],
+                            rng.standard_normal(L)) > 0).astype(np.float64)
+            k = np.hanning(2401)
+            from scipy.signal import fftconvolve
+
+            gate = fftconvolve(gate, k / k.sum(), mode="same")
+            x = gate * rng.standard_normal(L)
+        m = np.abs(x).max()
+        parts.append(x / m if m > 1e-9 else x)
+    w = rng.dirichlet(np.ones(len(parts)))
+    return sum(wi * p for wi, p in zip(w, parts)).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -459,7 +459,7 @@ class OnnxCtcEngine:
         return out
 
 
-def engine_from_onnx_dir(model_id: str, path, **kwargs):
+def engine_from_onnx_dir(model_id: str, path, mesh=None, **kwargs):
     """Dispatch an ONNX bundle to the right engine by its file inventory:
     a *joint* decoder → transducer/TDT; encoder+decoder pair → AR enc-dec;
     a single graph → CTC. This is how unknown-architecture bundles (cohere,
@@ -467,14 +467,14 @@ def engine_from_onnx_dir(model_id: str, path, **kwargs):
     path = Path(path)
     joint = find_onnx(path, "joint")
     if joint is not None:
-        return OnnxTdtEngine(path, model_id)
+        return OnnxTdtEngine(path, model_id, mesh=mesh)
     enc = find_onnx(path, "encoder", "encode")
     dec = (find_onnx(path, "uncached") or find_onnx(path, "merged")
            or find_onnx(path, "decoder", "decode", exclude=("cached",)))
     if enc is not None and dec is not None and enc != dec:
-        return OnnxEncDecEngine(path, model_id, **kwargs)
+        return OnnxEncDecEngine(path, model_id, mesh=mesh, **kwargs)
     if find_onnx(path) is not None:
-        return OnnxCtcEngine(path, model_id, **kwargs)
+        return OnnxCtcEngine(path, model_id, mesh=mesh, **kwargs)
     raise FileNotFoundError(f"no .onnx files in {path}")
 
 

@@ -240,7 +240,7 @@ def load_engine(model_id: str, model_manager: ModelManager,
             # directly through the ONNX->JAX executor
             from .onnx_engines import engine_from_onnx_dir
 
-            return engine_from_onnx_dir(model_id, path)
+            return engine_from_onnx_dir(model_id, path, mesh=mesh)
 
         class _MoonshineEngine(EngineProtocol):
             name = model_id
@@ -434,7 +434,7 @@ def load_engine(model_id: str, model_manager: ModelManager,
         # executor (encoder+decoder -> AR greedy; single graph -> CTC)
         from .onnx_engines import engine_from_onnx_dir
 
-        return engine_from_onnx_dir(model_id, path)
+        return engine_from_onnx_dir(model_id, path, mesh=mesh)
     raise ValueError(f"unknown engine type '{info.engine_type}'")
 
 
