@@ -43,15 +43,13 @@ class CrispyApp:
             flag = os.environ.get("CRISPY_MESH", "auto").lower()
             # default ON: shard over every visible chip when more than one
             # exists (SURVEY §2.8); CRISPY_MESH=off/0/none opts out, and a
-            # single chip stays mesh-less (latency-optimal for small jobs)
+            # single chip stays mesh-less (latency-optimal for small jobs).
+            # "auto" stays a LAZY sentinel — resolving it calls
+            # jax.devices() (the accelerator handshake), which must not
+            # happen for device-free commands like `crispy models list`;
+            # load_engine resolves it on first engine use (resolve_mesh).
             mesh = None if flag in ("off", "0", "none", "false") else "auto"
-        if mesh == "auto":
-            import jax
-
-            from .. import parallel
-
-            mesh = parallel.make_mesh() if len(jax.devices()) > 1 else None
-        self.mesh = mesh
+        self.mesh = mesh  # Mesh | None | the lazy "auto" sentinel
         self.model_manager = reg_mod.ModelManager(bus=self.bus)
         self.selected_model = reg_mod.SelectedModelState(bus=self.bus)
         self.transcription_manager = tr_mod.TranscriptionManager(
@@ -69,6 +67,13 @@ class CrispyApp:
         st = settings_mod.load_app_settings(self._data_root)
         if st.selected_transcription_model and st.selected_transcription_model != "none":
             self.selected_model.set(st.selected_transcription_model)
+
+    def resolved_mesh(self):
+        """Resolve (and cache) the lazy 'auto' mesh sentinel. First call
+        touches the accelerator (jax.devices())."""
+        self.mesh = tr_mod.resolve_mesh(self.mesh)
+        self.transcription_manager.mesh = self.mesh
+        return self.mesh
 
     # -- audio ----------------------------------------------------------------
     def get_platform(self) -> str:

@@ -624,7 +624,7 @@ class OnnxTdtEngine:
         n_frames = _frame_count(self.kind, a.shape[1])
         extra = _length_extra(self.enc_ints, self.enc_roles, a.shape[0],
                               n_frames, f"{self.name} encoder")
-        enc = np.asarray(self._encode(feats, extra))
+        enc = self._encode(feats, extra)  # stays on device (no host fetch)
         if self._enc_time_last(enc.shape):  # [B, D, T'] → [B, T', D]
             enc = enc.swapaxes(1, 2)
         enc = enc[:B]
@@ -642,7 +642,7 @@ class OnnxTdtEngine:
             self._decode_fn = self._build_decode_fn(V, blank, self._n_dur)
 
         states0 = tuple(jnp.asarray(s) for s in self._init_states(B))
-        toks, times_idx, n = self._decode_fn(jnp.asarray(enc), states0)
+        toks, times_idx, n = self._decode_fn(enc, states0)
         toks, times_idx, n = np.asarray(toks), np.asarray(times_idx), np.asarray(n)
         tokens = [toks[b, : n[b]].tolist() for b in range(B)]
         token_times = [(times_idx[b, : n[b]] * frame_dur).tolist() for b in range(B)]
@@ -939,7 +939,7 @@ class OnnxEncDecEngine:
         n_frames = _frame_count(self.kind, a.shape[1])
         extra = _length_extra(self.enc_ints, self.enc_roles, a.shape[0],
                               n_frames, f"{self.name} encoder")
-        enc_out = np.asarray(self._encode(feats, extra))[:B]
+        enc_out = self._encode(feats, extra)[:B]  # device-resident
 
         prompt_ids = self.prompt_for_language(language)
         tokens = self._decode_tokens(enc_out, B, prompt_ids, self.beam)

@@ -174,6 +174,20 @@ class EngineProtocol:
                 for t, off in zip(texts, offsets_seconds)]
 
 
+def resolve_mesh(mesh):
+    """Resolve the lazy 'auto' mesh sentinel: a Mesh over all visible
+    devices when more than one exists, else None. Deferred to first engine
+    use because jax.devices() pays the accelerator handshake — a CLI call
+    like `crispy models list` must not touch the device."""
+    if mesh == "auto":
+        import jax
+
+        from .. import parallel
+
+        return parallel.make_mesh() if len(jax.devices()) > 1 else None
+    return mesh
+
+
 def load_engine(model_id: str, model_manager: ModelManager,
                 mesh=None) -> EngineProtocol:
     """EngineType dispatch (managers/transcription.rs:119-172).
@@ -183,6 +197,7 @@ def load_engine(model_id: str, model_manager: ModelManager,
     mesh, whisper shards TP over 'model' and every chunk batch DP over
     'data' (SURVEY §2.8's scaling story, wired into the product path).
     """
+    mesh = resolve_mesh(mesh)
     info = model_manager.find(model_id)
     if info is None:
         raise ValueError(f"unknown model: {model_id}")
@@ -457,7 +472,7 @@ class TranscriptionManager:
                  engine_loader: Callable = None, mesh=None):
         self.model_manager = model_manager
         self.bus = bus
-        self.mesh = mesh  # optional jax.sharding.Mesh: engines shard to it
+        self.mesh = mesh  # Mesh | None | the lazy "auto" sentinel
         self._engine: Optional[EngineProtocol] = None
         self._current_model_id: Optional[str] = None
         self._states: Dict[str, TranscriptionState] = {}

@@ -141,19 +141,33 @@ def test_app_auto_mesh(data_root, monkeypatch):
 
     monkeypatch.setenv("CRISPY_MESH", "auto")
     app = CrispyApp(bus=EventBus())
-    assert app.mesh is not None
-    assert app.transcription_manager.mesh is app.mesh
+    m = app.resolved_mesh()
+    assert m is not None
+    assert app.transcription_manager.mesh is m
 
 
 def test_app_mesh_default_on_with_off_switch(data_root, monkeypatch):
     """With >1 visible device the mesh is ON by default (no env needed);
-    CRISPY_MESH=off opts out (VERDICT r2 #9)."""
+    CRISPY_MESH=off opts out (VERDICT r2 #9). The default stays a lazy
+    sentinel until first engine use so device-free commands never pay the
+    accelerator handshake."""
     from crispy_tpu.api.commands import CrispyApp
 
     monkeypatch.delenv("CRISPY_MESH", raising=False)
     app = CrispyApp(bus=EventBus())
-    assert app.mesh is not None  # 8 virtual devices in this suite
+    assert app.mesh == "auto"  # lazy until something needs a device
+    assert app.resolved_mesh() is not None  # 8 virtual devices here
 
     monkeypatch.setenv("CRISPY_MESH", "off")
     app_off = CrispyApp(bus=EventBus())
-    assert app_off.mesh is None
+    assert app_off.resolved_mesh() is None
+
+
+def test_load_engine_resolves_auto_sentinel(data_root, tmp_path):
+    """load_engine(mesh='auto') must shard exactly like an explicit mesh."""
+    from crispy_tpu.engine.transcription import resolve_mesh
+
+    m = resolve_mesh("auto")
+    assert m is not None and len(m.devices.flatten()) == 8
+    assert resolve_mesh(None) is None
+    assert resolve_mesh(m) is m

@@ -121,3 +121,21 @@ def test_sse_bridge_delivers_bus_events(served):
 def test_whitelist_matches_app_surface():
     missing = [c for c in COMMANDS if not hasattr(CrispyApp, c)]
     assert not missing, f"whitelisted commands without methods: {missing}"
+
+
+def test_ui_page_contract_matches_server():
+    """Every /api command and SSE event the page references must exist in
+    the server's whitelist/event catalog (static drift check)."""
+    import re
+
+    from crispy_tpu.api.web_server import SSE_EVENTS, WEBUI_DIR
+
+    page = (WEBUI_DIR / "index.html").read_text(encoding="utf-8")
+    for cmd in set(re.findall(r'api\("([a-z_]+)"', page)):
+        assert cmd in COMMANDS, f"page calls unknown command {cmd}"
+    for ev in set(re.findall(r'addEventListener\("([a-z-]+)"', page)):
+        assert ev in SSE_EVENTS, f"page listens to unbridged event {ev}"
+    # payload fields the page reads off bus events must match the emitters
+    assert '"level"' in page or "p.level" in page or ".level" in page
+    assert "p.downloaded" in page and "p.percent" in page
+    assert "p.recording_path" in page and "p.progress" in page

@@ -21,15 +21,25 @@ from crispy_tpu.dsp.rnnoise.jax_pipeline import FRAME, HIST, PBUF, WIN
 from crispy_tpu.dsp.rnnoise.weights import builtin_model, deterministic_test_model
 
 
+def _scalarize(out):
+    """Reduce a stage's outputs to ONE f32 on device so the timing fetch
+    moves 4 bytes, not the stage's full output (the tunnel pushes ~5 MB/s;
+    a 49 MB window tensor would swamp the measurement). The sum consumes
+    every output element, so nothing DCEs."""
+    leaves = [l for l in jax.tree_util.tree_leaves(out)
+              if hasattr(l, "dtype")]
+    return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+
 def timeit(fn, reps=3, inner=20):
-    out = fn()
-    jax.tree_util.tree_map(lambda a: np.asarray(a).sum(), out)
+    s = fn()
+    float(s)
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()
         for _ in range(inner):
-            out = fn()
-        jax.tree_util.tree_map(lambda a: np.asarray(a).sum(), out)
+            s = fn()
+        float(s)  # one scalar fetch per rep
         best = min(best, (time.time() - t0) / inner)
     return best * 1e3  # ms
 
@@ -73,23 +83,37 @@ def main():
     inv_fn = jax.jit(lambda p, r, i: jp._inv_spectrum(p, r, i))
 
     carry = [jp.init_state(S)]  # donated: re-thread every call
+    sum_jit = jax.jit(_scalarize)
 
     def full_block():
         carry[0], out, _ = jp._denoise_block_jit(params, carry[0], block)
-        return out
+        return sum_jit(out)
+
+    # Each stage is a jitted fn ending in a device-side scalar reduction.
+    frontend_s = jax.jit(lambda p, st, b: _scalarize(
+        jp.frontend_block(p, st, b)[1]["feats"]))
+    hp_s = jax.jit(lambda p, st, xx: _scalarize(jp._hp_biquad(p, st, xx)[1]))
+    pitch_s = jax.jit(lambda p, st, e: _scalarize(
+        jp._pitch_index(p, st, e, F)[0]))
+    awin_s = jax.jit(lambda e: _scalarize(
+        jp._windows(e[:, 1 + HIST - FRAME:], FRAME, WIN, F)))
+    spec_s = jax.jit(lambda p, w: _scalarize(jp._spectrum(p, w)))
+    pwin_s = jax.jit(lambda e, st_: _scalarize(pitch_window_gather(e, st_)))
+    nn_s = jax.jit(lambda p, st, f, s: _scalarize(
+        nn_scan_pallas(p, st, f, s)[0]))
+    inv_s = jax.jit(lambda p, r, i: _scalarize(jp._inv_spectrum(p, r, i)))
 
     stages = {
         "full_block": full_block,
-        "frontend_block": lambda: frontend(params, state0, block)[1]["feats"],
-        "hp_biquad": lambda: jax.jit(jp._hp_biquad)(params, state0, x)[1],
-        "pitch_index": lambda: pitch_fn(params, state0, ext)[0],
-        "awin_windows": lambda: jax.jit(
-            lambda e: jp._windows(e[:, 1 + HIST - FRAME:], FRAME, WIN, F))(ext),
-        "spectrum(awin)": lambda: spec_fn(params, awin)[0],
-        "pwin_gather": lambda: pwin_fn(ext, starts),
-        "spectrum(pwin)": lambda: spec_fn(params, pwin)[0],
-        "nn_scan": lambda: nn_fn(params, state0, feats, silence)[0][1],
-        "inv_spectrum": lambda: inv_fn(params, Xr, Xi),
+        "frontend_block": lambda: frontend_s(params, state0, block),
+        "hp_biquad": lambda: hp_s(params, state0, x),
+        "pitch_index": lambda: pitch_s(params, state0, ext),
+        "awin_windows": lambda: awin_s(ext),
+        "spectrum(awin)": lambda: spec_s(params, awin),
+        "pwin_gather": lambda: pwin_s(ext, starts),
+        "spectrum(pwin)": lambda: spec_s(params, pwin),
+        "nn_scan": lambda: nn_s(params, state0, feats, silence),
+        "inv_spectrum": lambda: inv_s(params, Xr, Xi),
     }
     print(f"S={S} F={F} backend={jax.default_backend()}")
     for name, fn in stages.items():
