@@ -118,49 +118,30 @@ def pitch_window_gather(
 # ---------------------------------------------------------------------------
 #
 # Per frame, remove_doubling needs corr/yyl values at 15 candidate periods
-# T_cand(T0, k) plus corr at T_cand±1 (45+ scattered reads). XLA lowers the
-# take_along_axis formulation to per-element gathers (~10 ms/block); here
-# each frame builds two small one-hot matrices from its T0 scalar and
-# contracts them against the 4 prepared rows (corr, corr>>1, corr<<1, yyl)
-# on the MXU — no gathers anywhere.
+# T_cand(T0, k) plus corr at T_cand±1 (90 scattered reads). XLA lowers the
+# take_along_axis formulation to per-element gathers (~13 ms/block on TPU);
+# a one-hot MXU Pallas kernel got that to ~5.9 ms. The winner (measured on
+# v5e, tools/tpu_rd_gather_variants.py: 1.5 ms) is a plain XLA
+# broadcast-compare-select-reduce: the mask generation, select, and the
+# 385-lane reduction fuse into one VPU loop, and the result is EXACT —
+# each reduced row has exactly one nonzero element, so reduction order
+# cannot change the value. CPU keeps take_along_axis (fastest there).
 
 _NCAND = 15  # candidate 0 = T0 itself; 1..14 = subharmonics k = 2..15
-_ROWPAD = 512  # corr/yyl rows padded to 512 lanes (385 used)
-_RD_FBLK = 8
 
 
-def _rd_kernel(t0_ref, corr4_ref, out_ref):
-    s = pl.program_id(0)
-    fb = pl.program_id(1)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (16, _ROWPAD), 1)
-    sc = [int(x) for x in SECOND_CHECK]
-    for i in range(_RD_FBLK):
-        t0 = t0_ref[s, fb * _RD_FBLK + i]
-        tc = [t0]
-        tb = [t0]
-        for k in range(2, 16):
-            t1 = (2 * t0 + k) // (2 * k)
-            tc.append(t1)
-            if k == 2:
-                tb.append(jnp.where(t0 + t1 > 384, t0, t0 + t1))
-            else:
-                tb.append((2 * sc[k] * t0 + k) // (2 * k))
-        tvec = jnp.stack(tc + [jnp.int32(-1)])[:, None]  # [16,1]; row 15 inert
-        tbvec = jnp.stack(tb + [jnp.int32(-1)])[:, None]
-        oh_t = (lanes == tvec).astype(jnp.float32)
-        oh_tb = (lanes == tbvec).astype(jnp.float32)
-        rows = corr4_ref[0, i]  # [4, 512]: corr, corr[T-1], corr[T+1], yyl
-        a = jax.lax.dot_general(
-            oh_t, rows, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST,
-        )  # [16, 4]
-        b = jax.lax.dot_general(
-            oh_tb, rows, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST,
-        )  # [16, 4] (cols 0, 3 used)
-        out_ref[0, i, :, :] = jnp.concatenate(
-            [a, b, jnp.zeros((16, 120), jnp.float32)], axis=1
-        )
+def _rd_candidates(T0: jnp.ndarray):
+    """Candidate periods per frame: T_cand [.., 15] and the second-check
+    periods T_bcand [.., 15] (remove_doubling's k-subharmonic table)."""
+    ks = jnp.arange(2, 16, dtype=jnp.int32)
+    T0k = T0[..., None]
+    T1 = (2 * T0k + ks) // (2 * ks)
+    sc = jnp.asarray(np.asarray(SECOND_CHECK), jnp.int32)[ks]
+    T1b = jnp.where(ks == 2, jnp.where(T0k + T1 > 384, T0k, T0k + T1),
+                    (2 * sc * T0k + ks) // (2 * ks))
+    tcand = jnp.concatenate([T0k, T1], axis=-1)
+    tbcand = jnp.concatenate([T0k, T1b], axis=-1)
+    return tcand, tbcand
 
 
 def rd_candidate_gather(corr: jnp.ndarray, yyl: jnp.ndarray, T0: jnp.ndarray):
@@ -168,54 +149,20 @@ def rd_candidate_gather(corr: jnp.ndarray, yyl: jnp.ndarray, T0: jnp.ndarray):
     (xy_t [S,F,15], xc_m1, xc_p1, yy_t, xy_tb, yy_tb) at the 15 candidates.
 
     Candidate c=0 is T0; c>=1 are the k=2..15 subharmonics with their
-    second-check periods (diarization-free port of remove_doubling's reads).
+    second-check periods (remove_doubling's reads).
     """
-    S, F, L = corr.shape
-    if jax.default_backend() != "tpu":
-        ks = jnp.arange(2, 16, dtype=jnp.int32)
-        T0k = T0[..., None]
-        T1 = (2 * T0k + ks) // (2 * ks)
-        sc = jnp.asarray(np.asarray(SECOND_CHECK), jnp.int32)[ks]
-        T1b = jnp.where(ks == 2, jnp.where(T0k + T1 > 384, T0k, T0k + T1),
-                        (2 * sc * T0k + ks) // (2 * ks))
-        tcand = jnp.concatenate([T0k, T1], axis=-1)
-        tbcand = jnp.concatenate([T0k, T1b], axis=-1)
+    L = corr.shape[-1]
+    tcand, tbcand = _rd_candidates(T0)
 
+    if jax.default_backend() != "tpu":
         def take(arr, idx):
             return jnp.take_along_axis(arr, jnp.clip(idx, 0, L - 1), axis=-1)
+    else:
+        lanes = jnp.arange(L, dtype=jnp.int32)
 
-        return (take(corr, tcand), take(corr, tcand - 1), take(corr, tcand + 1),
-                take(yyl, tcand), take(corr, tbcand), take(yyl, tbcand))
+        def take(arr, idx):
+            m = lanes == jnp.clip(idx, 0, L - 1)[..., None]  # one-hot rows
+            return jnp.sum(jnp.where(m, arr[..., None, :], 0.0), axis=-1)
 
-    Fp = -(-F // _RD_FBLK) * _RD_FBLK
-    zpad = jnp.zeros((S, F, 1), jnp.float32)
-    rows = jnp.stack(
-        [
-            corr,
-            jnp.concatenate([zpad, corr[..., :-1]], axis=-1),  # corr[T-1] at T
-            jnp.concatenate([corr[..., 1:], zpad], axis=-1),  # corr[T+1] at T
-            yyl,
-        ],
-        axis=2,
-    )  # [S, F, 4, 385]
-    rows = jnp.pad(rows, ((0, 0), (0, Fp - F), (0, 0), (0, _ROWPAD - L)))
-    T0p = jnp.pad(T0, ((0, 0), (0, Fp - F)))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(S, Fp // _RD_FBLK),
-        in_specs=[
-            pl.BlockSpec((1, _RD_FBLK, 4, _ROWPAD), lambda s, fb, t0: (s, fb, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, _RD_FBLK, 16, 128), lambda s, fb, t0: (s, fb, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    out = pl.pallas_call(
-        _rd_kernel,
-        out_shape=jax.ShapeDtypeStruct((S, Fp, 16, 128), jnp.float32),
-        grid_spec=grid_spec,
-    )(T0p.astype(jnp.int32), rows)
-    out = out[:, :F]
-    return (out[..., :_NCAND, 0], out[..., :_NCAND, 1], out[..., :_NCAND, 2],
-            out[..., :_NCAND, 3], out[..., :_NCAND, 4], out[..., :_NCAND, 7])
+    return (take(corr, tcand), take(corr, tcand - 1), take(corr, tcand + 1),
+            take(yyl, tcand), take(corr, tbcand), take(yyl, tbcand))
