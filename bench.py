@@ -236,7 +236,9 @@ def bench_denoise_mesh(per_device_streams=128, F=100, inner=20):
     from crispy_tpu.dsp.rnnoise import jax_pipeline as jp
     from crispy_tpu.dsp.rnnoise.weights import builtin_model, deterministic_test_model
 
-    mesh = parallel.make_mesh()
+    # data-only mesh: all devices shard streams (the default (data, model=2)
+    # mesh would replicate everything on a 2-chip host)
+    mesh = parallel.make_mesh(model_parallel=1)
     ndev = len(jax.devices())
     S = per_device_streams * ndev
     try:

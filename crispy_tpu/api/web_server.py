@@ -79,8 +79,37 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    # -- request authentication (loopback hardening) ---------------------
+    def _check_browser_boundaries(self, api: bool = False) -> bool:
+        """Reject cross-site requests: a malicious web page can make the
+        browser POST to 127.0.0.1 (CSRF) and DNS rebinding lets it read
+        responses. Host must be our own loopback origin; an Origin header,
+        when a browser sends one, must match; /api additionally requires
+        Content-Type: application/json (no-cors requests can't set it)."""
+        port = self.server_ref.port
+        host = (self.headers.get("Host") or "").strip().lower()
+        allowed = {f"127.0.0.1:{port}", f"localhost:{port}",
+                   f"[::1]:{port}"}
+        if host not in allowed:
+            self.send_error(403, "bad Host")
+            return False
+        origin = self.headers.get("Origin")
+        if origin and origin.rstrip("/").lower() not in {
+                f"http://{h}" for h in allowed}:
+            self.send_error(403, "cross-origin request refused")
+            return False
+        if api:
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+            if ctype.strip().lower() != "application/json":
+                self._json({"error": "Content-Type must be application/json"},
+                           415)
+                return False
+        return True
+
     # -- routes ----------------------------------------------------------
     def do_GET(self):
+        if not self._check_browser_boundaries():
+            return
         parsed = urllib.parse.urlparse(self.path)
         route = parsed.path
         if route in ("/", "/index.html"):
@@ -90,11 +119,12 @@ class _Handler(BaseHTTPRequestHandler):
         if route == "/stream":
             q = urllib.parse.parse_qs(parsed.query)
             return self._stream((q.get("path") or [""])[0])
-        if route.startswith("/api/"):
-            return self._api(route[5:], {})
+        # /api is POST-only: GET side effects would be one <img src> away
         self.send_error(404)
 
     def do_POST(self):
+        if not self._check_browser_boundaries(api=True):
+            return
         parsed = urllib.parse.urlparse(self.path)
         if parsed.path.startswith("/api/"):
             n = int(self.headers.get("Content-Length") or 0)
@@ -163,17 +193,28 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Range", f"bytes {start}-{end}/{size}")
             self.send_header("Content-Length", str(end - start + 1))
             self.end_headers()
-            with open(target, "rb") as f:
-                f.seek(start)
-                self.wfile.write(f.read(end - start + 1))
+            self._copy_range(target, start, end - start + 1)
         else:
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.send_header("Accept-Ranges", "bytes")
             self.send_header("Content-Length", str(size))
             self.end_headers()
-            with open(target, "rb") as f:
-                self.wfile.write(f.read())
+            self._copy_range(target, 0, size)
+
+    def _copy_range(self, target: Path, start: int, count: int,
+                    chunk: int = 1 << 20) -> None:
+        """Stream file bytes in fixed-size chunks (a multi-GB WAV must not
+        be materialized as one bytes object per request)."""
+        with open(target, "rb") as f:
+            f.seek(start)
+            remaining = count
+            while remaining > 0:
+                buf = f.read(min(chunk, remaining))
+                if not buf:
+                    break
+                self.wfile.write(buf)
+                remaining -= len(buf)
 
     def _sse(self):
         """Event-bus → Server-Sent Events bridge; one queue per client."""

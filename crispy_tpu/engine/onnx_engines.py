@@ -443,15 +443,17 @@ class OnnxCtcEngine:
         rows, _ = self._emissions(chunks_16k, language)
         return [self.decode_ids(seq) for seq, _times in rows]
 
-    def transcribe_with_timestamps(self, chunk_16k, offset_seconds):
+    def transcribe_with_timestamps(self, chunk_16k, offset_seconds,
+                                   language: str = "en"):
         return self.transcribe_batch_with_timestamps(
-            np.atleast_2d(chunk_16k), [offset_seconds])[0]
+            np.atleast_2d(chunk_16k), [offset_seconds], language)[0]
 
-    def transcribe_batch_with_timestamps(self, chunks, offsets):
+    def transcribe_batch_with_timestamps(self, chunks, offsets,
+                                         language: str = "en"):
         """Word segments from CTC emission frame times, one batched device
         run (the reference consumes engine word segments the same way —
         managers/transcription.rs:196-249)."""
-        rows, dur = self._emissions(chunks)
+        rows, dur = self._emissions(chunks, language)
         out = []
         for (seq, times), off in zip(rows, offsets):
             words = group_word_segments(seq, times, self.pieces, dur)
@@ -724,13 +726,16 @@ class OnnxTdtEngine:
                 break
         return emit.reshape(mask_shape)
 
-    def transcribe_with_timestamps(self, chunk_16k, offset_seconds):
+    def transcribe_with_timestamps(self, chunk_16k, offset_seconds,
+                                   language: str = "en"):
         return self.transcribe_batch_with_timestamps(
-            np.atleast_2d(chunk_16k), [offset_seconds])[0]
+            np.atleast_2d(chunk_16k), [offset_seconds], language)[0]
 
-    def transcribe_batch_with_timestamps(self, chunks, offsets):
+    def transcribe_batch_with_timestamps(self, chunks, offsets,
+                                         language: str = "en"):
         """Word segments from transducer emission frame pointers (the
-        reference consumes engine word timestamps the same way)."""
+        reference consumes engine word timestamps the same way; the NeMo
+        transducer exports have no language input — accepted and unused)."""
         tokens, times, dur = self._greedy(chunks)
         out = []
         for seq, tms, off in zip(tokens, times, offsets):
@@ -1107,17 +1112,19 @@ class OnnxEncDecEngine:
         best = norm.argmax(axis=1)
         return toks3[np.arange(B), best]
 
-    def transcribe_with_timestamps(self, chunk_16k, offset_seconds):
+    def transcribe_with_timestamps(self, chunk_16k, offset_seconds,
+                                   language: str = "en"):
         return self.transcribe_batch_with_timestamps(
-            np.atleast_2d(chunk_16k), [offset_seconds])[0]
+            np.atleast_2d(chunk_16k), [offset_seconds], language)[0]
 
-    def transcribe_batch_with_timestamps(self, chunks, offsets):
+    def transcribe_batch_with_timestamps(self, chunks, offsets,
+                                         language: str = "en"):
         """Word segments from ONE batched decode. An AR decoder without
         cross-attention outputs has no frame alignment, so token times are
         spread proportionally over the chunk — coarse but word-granular,
         which is what diarization's word-midpoint lookup needs
         (managers/transcription.rs:196-249)."""
-        seqs, dur = self._decode_rows(chunks)
+        seqs, dur = self._decode_rows(chunks, language)
         out = []
         for seq, off in zip(seqs, offsets):
             if not seq:

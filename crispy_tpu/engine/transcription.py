@@ -143,16 +143,17 @@ class EngineProtocol:
         raise NotImplementedError
 
     def transcribe_with_timestamps(
-        self, chunk_16k: np.ndarray, offset_seconds: float
+        self, chunk_16k: np.ndarray, offset_seconds: float, language: str = "en"
     ) -> List[Tuple[float, float, str]]:
         """Word segments (start, end, text); default: whole-chunk fallback
         (managers/transcription.rs:196-249's fallback path)."""
-        text = self.transcribe_batch(chunk_16k[None, :])[0]
+        text = self.transcribe_batch(chunk_16k[None, :], language=language)[0]
         dur = len(chunk_16k) / TARGET_SAMPLE_RATE
         return [(offset_seconds, offset_seconds + dur, text)] if text.strip() else []
 
     def transcribe_batch_with_timestamps(
-        self, chunks_16k: np.ndarray, offsets_seconds: List[float]
+        self, chunks_16k: np.ndarray, offsets_seconds: List[float],
+        language: str = "en"
     ) -> List[List[Tuple[float, float, str]]]:
         """Batched timestamped decode. The default runs ONE batched
         transcribe_batch call and returns whole-chunk segments (the
@@ -164,11 +165,16 @@ class EngineProtocol:
         granularity (delegation preserved)."""
         if (type(self).transcribe_with_timestamps
                 is not EngineProtocol.transcribe_with_timestamps):
-            return [self.transcribe_with_timestamps(chunks_16k[j],
-                                                    offsets_seconds[j])
+            import inspect
+
+            takes_lang = "language" in inspect.signature(
+                type(self).transcribe_with_timestamps).parameters
+            return [self.transcribe_with_timestamps(
+                        chunks_16k[j], offsets_seconds[j],
+                        **({"language": language} if takes_lang else {}))
                     for j in range(len(chunks_16k))]
         a = np.atleast_2d(np.asarray(chunks_16k))
-        texts = self.transcribe_batch(a)
+        texts = self.transcribe_batch(a, language=language)
         dur = a.shape[1] / TARGET_SAMPLE_RATE
         return [[(off, off + dur, t)] if t.strip() else []
                 for t, off in zip(texts, offsets_seconds)]
@@ -184,7 +190,13 @@ def resolve_mesh(mesh):
 
         from .. import parallel
 
-        return parallel.make_mesh() if len(jax.devices()) > 1 else None
+        if len(jax.devices()) <= 1:
+            return None
+        # product path: every device on the 'data' axis. The default
+        # (data, model=2) mesh would leave the ONNX engines' P('data')
+        # sharding with a size-1 data axis on 2 chips (full replication);
+        # DP over chunk batches scales every engine, whisper included.
+        return parallel.make_mesh(model_parallel=1)
     return mesh
 
 
@@ -223,11 +235,15 @@ def load_engine(model_id: str, model_manager: ModelManager,
                 # gate internally (transcription.rs delegates); match it.
                 return wm.transcribe_chunks_robust(chunks, language=language)
 
-            def transcribe_with_timestamps(self, chunk_16k, offset_seconds):
-                return wm.transcribe_chunk_with_timestamps(chunk_16k, offset_seconds)
+            def transcribe_with_timestamps(self, chunk_16k, offset_seconds,
+                                           language="en"):
+                return wm.transcribe_chunk_with_timestamps(
+                    chunk_16k, offset_seconds, language=language)
 
-            def transcribe_batch_with_timestamps(self, chunks, offsets):
-                return wm.transcribe_chunks_with_timestamps(chunks, offsets)
+            def transcribe_batch_with_timestamps(self, chunks, offsets,
+                                                 language="en"):
+                return wm.transcribe_chunks_with_timestamps(
+                    chunks, offsets, language=language)
 
         return _WhisperEngine()
     if info.engine_type == "moonshine":
@@ -617,7 +633,8 @@ def run_transcription(
                            for j in range(batch.shape[0])]
                 with _stage("transcribe-batch-timestamps", tm.bus,
                             {"chunks": n_live}):
-                    seg_lists = tm.engine.transcribe_batch_with_timestamps(batch, offsets)
+                    seg_lists = tm.engine.transcribe_batch_with_timestamps(
+                        batch, offsets, language=language)
                 for segs in seg_lists[:n_live]:
                     for s, e, text in segs:
                         if text.strip():

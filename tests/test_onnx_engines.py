@@ -146,6 +146,10 @@ def test_ctc_language_id_plumbed_per_call(tmp_path):
     assert t_en == eng.transcribe_batch(chunks, language="en")  # deterministic
     assert t_en != t_zh
     assert t_zh == ["w2"]  # token 3 forced at every frame → one collapsed "▁w2"
+    # the timestamped (diarization) path must carry language too — a
+    # diarization-enabled zh job must not silently decode as en
+    segs_zh = eng.transcribe_batch_with_timestamps(chunks, [0.0], "zh")
+    assert [w for _s, _e, w in segs_zh[0]] == ["w2"]
 
 
 def test_ctc_unknown_int_input_is_loud(tmp_path):

@@ -32,10 +32,11 @@ def _get(srv, path, headers=None):
     return urllib.request.urlopen(req, timeout=10)
 
 
-def _api(srv, name, body=None):
+def _api(srv, name, body=None, headers=None):
     req = urllib.request.Request(
         f"http://127.0.0.1:{srv.port}/api/{name}",
-        data=json.dumps(body or {}).encode(), method="POST")
+        data=json.dumps(body or {}).encode(), method="POST",
+        headers={"Content-Type": "application/json", **(headers or {})})
     with urllib.request.urlopen(req, timeout=10) as r:
         return json.loads(r.read())
 
@@ -48,10 +49,44 @@ def test_static_page_and_api_dispatch(served):
 
     models = _api(srv, "get_available_models")
     assert isinstance(models, list) and len(models) >= 13
-    assert _api(srv, "get_platform") in ("linux", "darwin", "windows")
+    assert _api(srv, "get_platform") in ("linux", "macos", "windows")
     # setter round-trip through the API surface
     _api(srv, "set_app_setting", {"key": "diarization_enabled", "value": "true"})
     assert _api(srv, "get_app_settings")["diarization_enabled"] == "true"
+
+
+def test_cross_site_requests_refused(served):
+    """CSRF/DNS-rebinding hardening: bad Host → 403; foreign Origin → 403;
+    non-JSON content type → 415; GET /api (one <img src> away from a side
+    effect) → 404."""
+    _app, srv = served
+    url = f"http://127.0.0.1:{srv.port}"
+    # DNS rebinding: Host header of an attacker domain
+    req = urllib.request.Request(f"{url}/api/get_platform", data=b"{}",
+                                 method="POST",
+                                 headers={"Content-Type": "application/json",
+                                          "Host": "evil.example:80"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 403
+    # cross-origin browser POST
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _api(srv, "get_platform", headers={"Origin": "http://evil.example"})
+    assert e.value.code == 403
+    # no-cors simple request (cannot set application/json)
+    req = urllib.request.Request(f"{url}/api/stop_recording", data=b"{}",
+                                 method="POST",
+                                 headers={"Content-Type": "text/plain"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 415
+    # GET /api has no side-effect surface at all
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(srv, "/api/get_platform")
+    assert e.value.code == 404
+    # same-origin Origin header is accepted
+    assert _api(srv, "get_platform",
+                headers={"Origin": f"http://127.0.0.1:{srv.port}"})
 
 
 def test_api_unknown_and_bad_args(served):
