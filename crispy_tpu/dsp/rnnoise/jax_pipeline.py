@@ -130,14 +130,18 @@ def _corr_tables() -> Dict[str, np.ndarray]:
         out[f"ci_{tag}_re"] = (ck * np.cos(ang) / nfft).astype(np.float32)  # [bins, lags]
         out[f"ci_{tag}_im"] = (-ck * np.sin(ang) / nfft).astype(np.float32)
 
-    fwd(512, 240, "x4")
-    fwd(512, 387, "y4")
-    inv(512, _COARSE_LAGS, "c4")
+    # nfft only needs signal length + no circular wrap (max j+i < nfft),
+    # NOT a power of two — the matmul DFT has no radix constraint. Coarse:
+    # max index 239+146 = 385 < 448; fine: 479+384 = 863 < 896. The
+    # smaller transforms cut the pitch path's largest matmuls by ~12%.
+    fwd(448, 240, "x4")
+    fwd(448, 387, "y4")
+    inv(448, _COARSE_LAGS, "c4")
     # Fine stage and remove_doubling share one cross-correlation (the same
     # 480-segment x 864-buffer pair); one inverse covers both lag ranges.
-    fwd(1024, _RD_N, "x2")
-    fwd(1024, PBUF // 2, "y2")
-    inv(1024, _RD_MAXP + 1, "c2")
+    fwd(896, _RD_N, "x2")
+    fwd(896, PBUF // 2, "y2")
+    inv(896, _RD_MAXP + 1, "c2")
 
     # Sliding-window energies as banded 0/1 matmuls over the squared signal
     # (cumsum-free: rides the MXU, exact summation order per window).

@@ -193,3 +193,36 @@ class TestPallasNnScan:
             np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
         for k in st_a:
             np.testing.assert_allclose(np.asarray(st_a[k]), np.asarray(st_b[k]), atol=1e-6)
+
+
+class TestCorrTables:
+    def test_matmul_dft_tables_compute_exact_correlation(self):
+        """The (re‖im) matmul-DFT tables must reproduce the direct
+        correlation sum at BOTH geometries (coarse 448-point, fine
+        896-point — sized to the no-wraparound minimum, not powers of
+        two). Backend-independent: pure numpy einsum over the tables."""
+        from crispy_tpu.dsp.rnnoise.jax_pipeline import (
+            _COARSE_LAGS, _RD_MAXP, _corr_tables)
+
+        t = _corr_tables()
+        rng = np.random.default_rng(5)
+        cases = [
+            ("x4", "y4", "c4", 240, 387, _COARSE_LAGS),
+            ("x2", "y2", "c2", 480, 864, _RD_MAXP + 1),
+        ]
+        for tagx, tagy, tagc, nx, ny, nlags in cases:
+            x = rng.standard_normal((3, nx)).astype(np.float32)
+            y = rng.standard_normal((3, ny)).astype(np.float32)
+            xr = x @ t[f"cf_{tagx}_re"]
+            xi = x @ t[f"cf_{tagx}_im"]
+            yr = y @ t[f"cf_{tagy}_re"]
+            yi = y @ t[f"cf_{tagy}_im"]
+            cr = xr * yr + xi * yi
+            ci = xr * yi - xi * yr
+            got = cr @ t[f"ci_{tagc}_re"] + ci @ t[f"ci_{tagc}_im"]
+            want = np.stack([
+                [np.dot(x[b], y[b, i: i + nx]) if i + nx <= ny else
+                 np.dot(x[b, : ny - i], y[b, i:]) for i in range(nlags)]
+                for b in range(3)
+            ])
+            np.testing.assert_allclose(got, want, atol=2e-3 * np.abs(want).max())
