@@ -51,6 +51,38 @@ def test_validate_model_turnkey_offline(data_root):
     assert replay["bundle_inventory"] == pinned["bundle_inventory"]
 
 
+def test_validate_model_every_family(data_root):
+    """validate_model is turnkey for EVERY catalog engine family — the
+    moment any real bundle lands, `crispy models validate <id>` runs with
+    zero code changes (whisper ggml included, via the container writer)."""
+    from test_catalog_engines import BUNDLE_MAKERS
+
+    mm = ModelManager()
+    for model_id, maker in sorted(BUNDLE_MAKERS.items()):
+        bundle_dir = mm.model_path(model_id)
+        bundle_dir.mkdir(parents=True)
+        maker(bundle_dir)
+        result = val.validate_model(model_id, mm)
+        assert isinstance(result["text"], str), model_id
+        assert result["bundle_inventory"], model_id
+
+    # whisper: a synthetic f16 ggml container through the same flow
+    from crispy_tpu.models.whisper import CONFIGS
+    from crispy_tpu.models.whisper.ggml_io import write_ggml
+    from crispy_tpu.models.whisper.weights import init_random
+
+    wid = "small"  # ggml-small.bin in the catalog (managers/model.rs:74-99)
+    info = mm.find(wid)
+    assert info is not None and not info.is_archive
+    path = mm.model_path(wid)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    cfg = CONFIGS["test-random"]
+    write_ggml(path, init_random(cfg, seed=0), cfg, ttype=1)
+    result = val.validate_model(wid, mm)
+    assert isinstance(result["text"], str)
+    assert result["engine"] == "_WhisperEngine"
+
+
 def _pinned_ids():
     if not GOLDEN_DIR.exists():
         return []
