@@ -758,15 +758,18 @@ class OnnxEncDecEngine:
     executor's static If support, with zero-length past tensors.
 
     The greedy loop is ONE `lax.while_loop` on device per length bucket
-    (short bucket first, escalating to the full padded length only for
-    rows that haven't emitted EOS) — host syncs per batch drop from
-    ~max_new to one per bucket, and silence/short chunks never pay the
-    full 224-step O(S²) cost. Beam search (beam>1) keeps the host loop
-    (beam reordering is a host-side row permutation).
+    (short buckets first, escalating toward the full padded length only
+    for rows that haven't emitted EOS) — host syncs per batch drop from
+    ~max_new to one per bucket, and silence/typical-speech chunks never
+    pay the full 224-step O(S²) cost. Beam search (beam>1) keeps the
+    host loop (beam reordering is a host-side row permutation).
     """
 
     name = "onnx-encdec"
-    SHORT_BUCKET = 48  # generated-token length of the first decode bucket
+    # generated-token lengths of the decode buckets (the full max_new
+    # length is always appended): silence exits in the 48 bucket, typical
+    # 30 s speech (~50-120 tokens) in the 128 bucket
+    BUCKET_SIZES = (48, 128)
 
     def __init__(self, model_dir, model_id: str = "onnx-encdec",
                  max_new: int = 224, prompt_tokens: Optional[List[str]] = None,
@@ -1025,7 +1028,8 @@ class OnnxEncDecEngine:
 
         P = len(prompt_ids)
         S_full = P + self.max_new
-        buckets = sorted({min(P + self.SHORT_BUCKET, S_full), S_full})
+        buckets = sorted({min(P + b, S_full) for b in self.BUCKET_SIZES}
+                         | {S_full})
         tokens = np.zeros((B, S_full), np.int32)
         tokens[:, :P] = prompt_ids
         done = np.zeros(B, bool)

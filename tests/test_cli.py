@@ -39,3 +39,32 @@ def test_stage_timing_events():
     assert t.counts["unit"] == 1 and t.totals["unit"] >= 0
     assert "unit" in t.report()
     t.close()
+
+
+def test_models_validate_cli(capsys, data_root, tmp_path, monkeypatch):
+    """`crispy models validate <id> --pin` end to end on a synthetic
+    catalog bundle: prints the golden record and writes the pin file."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_onnx_engines import make_canary_bundle
+
+    from crispy_tpu.models.registry import ModelManager
+
+    mm = ModelManager()
+    bundle_dir = mm.model_path("canary-180m-flash")
+    bundle_dir.mkdir(parents=True)
+    make_canary_bundle(bundle_dir)
+
+    pin = tmp_path / "golden.json"
+    assert main(["models", "validate", "canary-180m-flash",
+                 "--pin", str(pin)]) == 0
+    out = capsys.readouterr().out
+    rec = json.loads(out[: out.rindex("}") + 1])
+    assert rec["model_id"] == "canary-180m-flash"
+    pinned = json.loads(pin.read_text())
+    assert pinned["text"] == rec["text"]
+
+    # not downloaded → error + exit 1
+    assert main(["models", "validate", "cohere-int8"]) == 1
