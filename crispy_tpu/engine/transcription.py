@@ -378,6 +378,20 @@ def load_engine(model_id: str, model_manager: ModelManager,
                   for k, v in np.load(path / "params.npz").items()}
         vocab = SentencePieceVocab.load(path / "tokenizer.model")
 
+        pieces = list(vocab.pieces)
+
+        def prompt_for_language(language: str):
+            """Swap <|lang|> slots in the canary prompt when the vocab has
+            the requested language token (same contract as the ONNX
+            enc-dec engine's prompt substitution)."""
+            if language == "en" or f"<|{language}|>" not in pieces:
+                return prompt_ids
+            en, lang = (pieces.index("<|en|>") if "<|en|>" in pieces else -1,
+                        pieces.index(f"<|{language}|>"))
+            if en < 0:
+                return prompt_ids
+            return [lang if t == en else t for t in prompt_ids]
+
         class _CanaryEngine(EngineProtocol):
             name = model_id
 
@@ -385,7 +399,8 @@ def load_engine(model_id: str, model_manager: ModelManager,
                 B = len(np.atleast_2d(chunks))
                 feats = fbank(jnp.asarray(np.atleast_2d(chunks)),
                               cfg.encoder.n_mels)
-                prompt = jnp.asarray(np.tile(np.array(prompt_ids, np.int32), (B, 1)))
+                prompt = jnp.asarray(np.tile(
+                    np.array(prompt_for_language(language), np.int32), (B, 1)))
                 tokens, lengths = cn.greedy_decode(params, cfg, feats, prompt=prompt)
                 tokens, lengths = np.asarray(tokens), np.asarray(lengths)
                 return [vocab.decode(row[:n]) for row, n in zip(tokens, lengths)]
