@@ -107,9 +107,10 @@ def _corr_tables() -> Dict[str, np.ndarray]:
     """Real-DFT matrices for the pitch cross-correlations (matmul path).
 
     corr[i] = sum_j x[j] y[j+i] = irfft(conj(rfft(x)) * rfft(y)); at these
-    sizes (512/1024-point transforms over short signals) MXU matmuls beat
-    the XLA FFT on TPU. Matrices map directly between time samples and
-    (re, im) bins, with only the needed lag outputs kept.
+    sizes (448/896-point transforms over short signals — the no-wrap
+    minimum rounded to a lane multiple, not a power of two) MXU matmuls
+    beat the XLA FFT on TPU. Matrices map directly between time samples
+    and (re, im) bins, with only the needed lag outputs kept.
     """
     out: Dict[str, np.ndarray] = {}
 

@@ -197,51 +197,63 @@ _RD_W = 74  # packed layout from jax_pipeline._pitch_index
 _RD_OUT = 8  # pitch written in lane 0 (padded lane width)
 
 
-def _rd_kernel(packed_ref, carry_in_ref, out_ref, carry_out_ref, scratch):
-    f = pl.program_id(1)
+RD_FPP = 10  # frames per program: amortizes the ~25 us/program Mosaic
+# dispatch overhead that dominated the one-frame-per-program version
+# (2.5 ms -> sub-ms at F=100); the recurrence inside a program is a
+# plain Python loop over the K resident frames, bit-identical ordering.
 
-    @pl.when(f == 0)
+
+def _rd_kernel(n_frames: int, packed_ref, carry_in_ref, out_ref,
+               carry_out_ref, scratch):
+    fb = pl.program_id(1)
+
+    @pl.when(fb == 0)
     def _():
         scratch[:] = carry_in_ref[:]
 
-    inp = packed_ref[0]  # [S_BLK, 74]
-    prev_T = scratch[:, 0]
-    prev_g = scratch[:, 1]
+    for i in range(RD_FPP):
+        @pl.when(fb * RD_FPP + i < n_frames)  # tail-padded frames inert
+        def _(i=i):
+            inp = packed_ref[i]  # [S_BLK, 74]
+            prev_T = scratch[:, 0]
+            prev_g = scratch[:, 1]
 
-    T1_f = inp[:, 0:14]
-    g1_f = inp[:, 14:28]
-    valid_f = inp[:, 28:42] > 0.5
-    g0_f = inp[:, 42]
-    T0_f = inp[:, 43]
-    Tout_f = inp[:, 44:59]
-    pg_f = inp[:, 59:74]
+            T1_f = inp[:, 0:14]
+            g1_f = inp[:, 14:28]
+            valid_f = inp[:, 28:42] > 0.5
+            g0_f = inp[:, 42]
+            T0_f = inp[:, 43]
+            Tout_f = inp[:, 44:59]
+            pg_f = inp[:, 59:74]
 
-    # mosaic iota must be integer; convert after
-    ksf = (2 + lax.broadcasted_iota(jnp.int32, (1, 14), 1)).astype(jnp.float32)
-    pph = jnp.floor(prev_T * 0.5)
-    dT = jnp.abs(T1_f - pph[:, None])
-    cont = jnp.where(
-        dT <= 1, prev_g[:, None],
-        jnp.where((dT <= 2) & (5.0 * ksf * ksf < T0_f[:, None]),
-                  0.5 * prev_g[:, None], 0.0),
-    )
-    thresh = jnp.maximum(0.3, 0.7 * g0_f[:, None] - cont)
-    thresh = jnp.where(
-        T1_f < 3 * 30.0, jnp.maximum(0.4, 0.85 * g0_f[:, None] - cont),
-        jnp.where(T1_f < 2 * 30.0, jnp.maximum(0.5, 0.9 * g0_f[:, None] - cont),
-                  thresh),
-    )
-    choose = valid_f & (g1_f > thresh)
-    iota14 = lax.broadcasted_iota(jnp.int32, choose.shape, 1)
-    kidx = jnp.max(jnp.where(choose, iota14, -1), axis=-1)  # last winner
-    iota15 = lax.broadcasted_iota(jnp.int32, Tout_f.shape, 1)
-    sel = (iota15 == (kidx + 1)[:, None]).astype(jnp.float32)
-    T_out = jnp.sum(sel * Tout_f, axis=-1)
-    pg = jnp.sum(sel * pg_f, axis=-1)
+            # mosaic iota must be integer; convert after
+            ksf = (2 + lax.broadcasted_iota(jnp.int32, (1, 14), 1)).astype(jnp.float32)
+            pph = jnp.floor(prev_T * 0.5)
+            dT = jnp.abs(T1_f - pph[:, None])
+            cont = jnp.where(
+                dT <= 1, prev_g[:, None],
+                jnp.where((dT <= 2) & (5.0 * ksf * ksf < T0_f[:, None]),
+                          0.5 * prev_g[:, None], 0.0),
+            )
+            thresh = jnp.maximum(0.3, 0.7 * g0_f[:, None] - cont)
+            thresh = jnp.where(
+                T1_f < 3 * 30.0, jnp.maximum(0.4, 0.85 * g0_f[:, None] - cont),
+                jnp.where(T1_f < 2 * 30.0,
+                          jnp.maximum(0.5, 0.9 * g0_f[:, None] - cont),
+                          thresh),
+            )
+            choose = valid_f & (g1_f > thresh)
+            iota14 = lax.broadcasted_iota(jnp.int32, choose.shape, 1)
+            kidx = jnp.max(jnp.where(choose, iota14, -1), axis=-1)  # last winner
+            iota15 = lax.broadcasted_iota(jnp.int32, Tout_f.shape, 1)
+            sel = (iota15 == (kidx + 1)[:, None]).astype(jnp.float32)
+            T_out = jnp.sum(sel * Tout_f, axis=-1)
+            pg = jnp.sum(sel * pg_f, axis=-1)
 
-    scratch[:, 0] = T_out
-    scratch[:, 1] = pg
-    out_ref[0, :, 0] = T_out
+            scratch[:, 0] = T_out
+            scratch[:, 1] = pg
+            out_ref[i, :, 0] = T_out
+
     carry_out_ref[:] = scratch[:]
 
 
@@ -257,30 +269,35 @@ def rd_scan_pallas(packed: jnp.ndarray, last_period: jnp.ndarray,
         last_period = jnp.pad(last_period, (0, pad))
         last_gain = jnp.pad(last_gain, (0, pad))
     Sp = packed.shape[0]
+    Fp = -(-F // RD_FPP) * RD_FPP
     xs = jnp.moveaxis(packed, 1, 0)  # [F, S, 74]
+    if Fp != F:
+        xs = jnp.pad(xs, ((0, Fp - F), (0, 0), (0, 0)))
     carry0 = jnp.stack([last_period.astype(jnp.float32),
                         last_gain.astype(jnp.float32)], axis=-1)  # [S, 2]
 
+    import functools
+
     out, carry = pl.pallas_call(
-        _rd_kernel,
-        grid=(Sp // S_BLK, F),
+        functools.partial(_rd_kernel, F),
+        grid=(Sp // S_BLK, Fp // RD_FPP),
         in_specs=[
-            pl.BlockSpec((1, S_BLK, _RD_W), lambda s, f: (f, s, 0),
+            pl.BlockSpec((RD_FPP, S_BLK, _RD_W), lambda s, f: (f, s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S_BLK, 2), lambda s, f: (s, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, S_BLK, _RD_OUT), lambda s, f: (f, s, 0),
+            pl.BlockSpec((RD_FPP, S_BLK, _RD_OUT), lambda s, f: (f, s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S_BLK, 2), lambda s, f: (s, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((F, Sp, _RD_OUT), jnp.float32),
+            jax.ShapeDtypeStruct((Fp, Sp, _RD_OUT), jnp.float32),
             jax.ShapeDtypeStruct((Sp, 2), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((S_BLK, 2), jnp.float32)],
         interpret=interpret,
     )(xs, carry0)
 
-    pitch = jnp.moveaxis(out[..., 0], 0, 1)[:S]  # [S, F]
+    pitch = jnp.moveaxis(out[..., 0], 0, 1)[:S, :F]  # [S, F]
     return pitch, carry[:S, 0], carry[:S, 1]

@@ -180,6 +180,25 @@ def group_word_segments(ids: List[int], times: List[float], pieces: Optional[Lis
     return words
 
 
+def _active_span(row_16k: np.ndarray, dur: float,
+                 frame: int = 160, rel: float = 0.05) -> Tuple[float, float]:
+    """(t0, t1) of the energetic region of one 16 kHz chunk: first..last
+    10 ms frame whose RMS exceeds rel x the chunk max (whole chunk when
+    nothing clears the floor)."""
+    n = (row_16k.size // frame) * frame
+    if n == 0:
+        return 0.0, dur
+    rms = np.sqrt((row_16k[:n].reshape(-1, frame).astype(np.float64) ** 2
+                   ).mean(axis=1))
+    peak = rms.max()
+    if peak <= 1e-6:
+        return 0.0, dur
+    active = np.flatnonzero(rms > rel * peak)
+    t0 = float(active[0]) * frame / 16000.0
+    t1 = min(dur, (float(active[-1]) + 1) * frame / 16000.0)
+    return t0, max(t1, t0 + frame / 16000.0)
+
+
 def _pad_batch(a: np.ndarray, mesh) -> Tuple[np.ndarray, int]:
     """Pad the chunk batch to a multiple of the mesh's dp size."""
     B = a.shape[0]
@@ -1125,22 +1144,26 @@ class OnnxEncDecEngine:
                                          language: str = "en"):
         """Word segments from ONE batched decode. An AR decoder without
         cross-attention outputs has no frame alignment, so token times are
-        spread proportionally over the chunk — coarse but word-granular,
+        spread proportionally over the chunk's ACTIVE span (first..last
+        energy above threshold — a tail-padded 10 s utterance in a 30 s
+        chunk gets 10 s-scale times, not 30) — coarse but word-granular,
         which is what diarization's word-midpoint lookup needs
         (managers/transcription.rs:196-249)."""
-        seqs, dur = self._decode_rows(chunks, language)
+        a = np.atleast_2d(np.asarray(chunks, np.float32))
+        seqs, dur = self._decode_rows(a, language)
+        spans = [_active_span(row, dur) for row in a]
         out = []
-        for seq, off in zip(seqs, offsets):
+        for seq, off, (t0, t1) in zip(seqs, offsets, spans):
             if not seq:
                 out.append([])
                 continue
             words = []
             if self.pieces is not None:
                 n = len(seq)
-                times = [dur * i / n for i in range(n)]
-                words = group_word_segments(seq, times, self.pieces, dur)
+                times = [t0 + (t1 - t0) * i / n for i in range(n)]
+                words = group_word_segments(seq, times, self.pieces, t1)
             if not words:
                 text = self.decode_ids(seq)
-                words = [(0.0, dur, text)] if text.strip() else []
+                words = [(t0, t1, text)] if text.strip() else []
             out.append([(s + off, e + off, w) for s, e, w in words])
         return out

@@ -380,7 +380,7 @@ def load_engine(model_id: str, model_manager: ModelManager,
 
         pieces = list(vocab.pieces)
 
-        def prompt_for_language(language: str):
+        def _prompt_for_language(language: str):
             """Swap <|lang|> slots in the canary prompt when the vocab has
             the requested language token (same contract as the ONNX
             enc-dec engine's prompt substitution)."""
@@ -394,13 +394,15 @@ def load_engine(model_id: str, model_manager: ModelManager,
 
         class _CanaryEngine(EngineProtocol):
             name = model_id
+            prompt_for_language = staticmethod(_prompt_for_language)
 
             def transcribe_batch(self, chunks, language="en"):
                 B = len(np.atleast_2d(chunks))
                 feats = fbank(jnp.asarray(np.atleast_2d(chunks)),
                               cfg.encoder.n_mels)
                 prompt = jnp.asarray(np.tile(
-                    np.array(prompt_for_language(language), np.int32), (B, 1)))
+                    np.array(self.prompt_for_language(language), np.int32),
+                    (B, 1)))
                 tokens, lengths = cn.greedy_decode(params, cfg, feats, prompt=prompt)
                 tokens, lengths = np.asarray(tokens), np.asarray(lengths)
                 return [vocab.decode(row[:n]) for row, n in zip(tokens, lengths)]

@@ -41,13 +41,11 @@ def test_stage_timing_events():
     t.close()
 
 
-def test_models_validate_cli(capsys, data_root, tmp_path, monkeypatch):
+def test_models_validate_cli(capsys, data_root, tmp_path):
     """`crispy models validate <id> --pin` end to end on a synthetic
     catalog bundle: prints the golden record and writes the pin file."""
     import json
-    import sys
 
-    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
     from test_onnx_engines import make_canary_bundle
 
     from crispy_tpu.models.registry import ModelManager
@@ -61,7 +59,7 @@ def test_models_validate_cli(capsys, data_root, tmp_path, monkeypatch):
     assert main(["models", "validate", "canary-180m-flash",
                  "--pin", str(pin)]) == 0
     out = capsys.readouterr().out
-    rec = json.loads(out[: out.rindex("}") + 1])
+    rec = json.loads(out[out.index("{"): out.rindex("}") + 1])
     assert rec["model_id"] == "canary-180m-flash"
     pinned = json.loads(pin.read_text())
     assert pinned["text"] == rec["text"]

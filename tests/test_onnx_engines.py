@@ -471,3 +471,24 @@ def test_encdec_beam_one_matches_greedy_and_beam_runs(tmp_path):
     assert len(beam3) == 2 and all(isinstance(t, str) for t in beam3)
     # beam search is deterministic
     assert beam3 == OnnxEncDecEngine(d, "c", max_new=10, beam=3).transcribe_batch(chunks)
+
+
+def test_encdec_word_times_track_active_span(tmp_path):
+    """A tail-padded utterance's word times stay inside the energetic
+    region of the chunk (not spread over the padding) — diarization
+    midpoints land on the speech."""
+    from crispy_tpu.engine.onnx_engines import OnnxEncDecEngine, _active_span
+
+    d = make_canary_bundle(tmp_path)
+    eng = OnnxEncDecEngine(d, "canary-span", max_new=12)
+    rng = np.random.default_rng(3)
+    chunk = np.zeros(30 * 16000, np.float32)
+    chunk[16000: 5 * 16000] = (rng.standard_normal(4 * 16000) * 0.3
+                               ).astype(np.float32)
+    t0, t1 = _active_span(chunk, 30.0)
+    assert 0.9 <= t0 <= 1.1 and 4.9 <= t1 <= 5.1
+    segs = eng.transcribe_batch_with_timestamps(chunk[None, :], [0.0])[0]
+    for s, e, _w in segs:
+        assert t0 - 0.01 <= s <= e <= t1 + 0.51  # +0.5 s flush tail allowance
+    # silence-only chunk falls back to the whole-chunk span
+    assert _active_span(np.zeros(480000, np.float32), 30.0) == (0.0, 30.0)

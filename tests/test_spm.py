@@ -196,3 +196,36 @@ def test_moonshine_engine_from_prepared_bundle(tmp_path):
     t = np.arange(sr) / sr
     out = eng.transcribe_batch([(0.2 * np.sin(2 * np.pi * 260 * t)).astype(np.float32)])
     assert len(out) == 1 and isinstance(out[0], str)
+
+
+def test_canary_prepared_language_prompt_substitution(tmp_path):
+    """Per-call language swaps the <|lang|> prompt slots on the NATIVE
+    canary engine (same contract as the ONNX enc-dec path)."""
+    from crispy_tpu.engine.transcription import load_engine
+    from crispy_tpu.models import canary as cn
+    from crispy_tpu.models.registry import ModelManager
+
+    cfg = cn.CONFIGS["test-random"]
+    mm = ModelManager(models_dir=tmp_path / "Models")
+    bundle = mm.model_path("canary-180m-flash")
+    bundle.mkdir(parents=True)
+    np.savez(bundle / "params.npz", **cn.init_random(cfg, seed=0))
+    n = cfg.vocab_size
+    pieces = (["<unk>", "<|en|>", "<|de|>", "<|transcribe|>"]
+              + [f"▁w{i}" for i in range(n - 6)] + ["<s>", "</s>"])
+    types = [UNKNOWN, CONTROL, CONTROL, CONTROL] + [NORMAL] * (n - 6) \
+        + [CONTROL, CONTROL]
+    (bundle / "tokenizer.model").write_bytes(build_model_bytes(pieces, types))
+    en_id, de_id, task_id = 1, 2, 3
+    (bundle / "config.json").write_text(json.dumps(
+        {"config": "test-random", "prompt_ids": [n - 2, en_id, task_id, en_id]}))
+
+    eng = load_engine("canary-180m-flash", mm)
+    assert eng.prompt_for_language("en") == [n - 2, en_id, task_id, en_id]
+    assert eng.prompt_for_language("de") == [n - 2, de_id, task_id, de_id]
+    assert eng.prompt_for_language("xx") == [n - 2, en_id, task_id, en_id]
+    # and the engine decodes with the substituted prompt
+    sr = 16000
+    audio = (0.2 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(np.float32)
+    out = eng.transcribe_batch([audio], language="de")
+    assert len(out) == 1 and isinstance(out[0], str)
