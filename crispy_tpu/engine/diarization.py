@@ -306,7 +306,11 @@ def segment_speech(
     n = audio.shape[0]
     if n == 0:
         return []
-    pad_to = -(-n // WINDOW_SAMPLES) * WINDOW_SAMPLES + WINDOW_SAMPLES  # + 1 extra
+    # ceil to a window multiple PLUS one all-zero window — the reference
+    # pads the same extra window ("to catch trailing speech",
+    # managers/diarization.rs:106-112): the silence terminates a trailing
+    # speech run at the exact boundary the reference would
+    pad_to = -(-n // WINDOW_SAMPLES) * WINDOW_SAMPLES + WINDOW_SAMPLES
     padded = np.zeros(pad_to, np.float32)
     padded[:n] = audio
     windows = padded.reshape(-1, WINDOW_SAMPLES)

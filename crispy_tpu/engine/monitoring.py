@@ -91,6 +91,7 @@ class MonitoringEngine:
         self._ns: Optional[NsState] = None
         self._params: Optional[tuple] = None
         self._lock = threading.Lock()
+        self._start_lock = threading.Lock()  # serializes start sequences
         self.realtime = True  # tests disable pacing
 
     @property
@@ -101,12 +102,20 @@ class MonitoringEngine:
                          output_device_name: str = "Default",
                          model_name: str = "rnnoise", volume: float = 1.0) -> None:
         params = (device_name, output_device_name, model_name)
-        with self._lock:
-            if self.active and self._params == params:
-                if self._ns is not None:  # idempotent restart: just retune
-                    self._ns.volume = volume
-                return
-        self.stop_monitoring()
+        # the whole check-stop-spawn sequence holds the start lock: two
+        # concurrent calls must not each spawn a monitor loop sharing one
+        # stop event (doubled audio into the sink)
+        with self._start_lock:
+            with self._lock:
+                if self.active and self._params == params:
+                    if self._ns is not None:  # idempotent restart: retune
+                        self._ns.volume = volume
+                    return
+            self.stop_monitoring()
+            self._start_locked(device_name, model_name, volume, params)
+
+    def _start_locked(self, device_name: str, model_name: str,
+                      volume: float, params) -> None:
         dev = self.registry.resolve(device_name)
         ns = NsState(model_name, dev.rate, 48000.0, volume)
         self._ns = ns
@@ -158,7 +167,12 @@ class MonitoringEngine:
                         "budget_ms": round(budget_s * 1e3, 3)})
                     lat_max_ms = 0.0
                 if self.realtime:
-                    time.sleep(budget_s)
+                    # pace to the block budget NET of processing time —
+                    # sleeping the full budget would run at <1x realtime
+                    # and grow a live feeder's backlog without bound
+                    elapsed = time.monotonic() - t0
+                    if elapsed < budget_s:
+                        time.sleep(budget_s - elapsed)
 
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()

@@ -363,7 +363,10 @@ def get_recordings(state: Optional[RecordingState] = None,
             "name": p.name,
             "path": str(p),
             "size": st.st_size,
-            "created": int(st.st_ctime),
+            # mtime, not ctime: Linux ctime is inode-change time, which a
+            # rename bumps — a renamed old recording must not jump to the
+            # top of the newest-first list
+            "created": int(st.st_mtime),
             "duration_seconds": wavio.get_wav_duration(p),
         })
     out.sort(key=lambda r: r["created"], reverse=True)

@@ -471,7 +471,11 @@ def _gathernd(node, data, indices):
     idx = jnp.asarray(indices)
     k = idx.shape[-1]
     flat_idx = idx.reshape(-1, k)
-    out = d[tuple(flat_idx[:, i] for i in range(k))]
+    cols = []
+    for i in range(k):  # spec allows negative indices; jit clamps, so wrap
+        ii = flat_idx[:, i]
+        cols.append(jnp.where(ii < 0, ii + d.shape[i], ii))
+    out = d[tuple(cols)]
     return out.reshape(idx.shape[:-1] + d.shape[k:])
 
 
@@ -809,6 +813,11 @@ def _split(node, a, split=None):
         split = node.attrs["split"]
     if split is None:
         n = int(node.attrs.get("num_outputs", len(node.outputs)))
+        L = x.shape[axis]
+        if L % n:  # spec (opset 18): uneven split → last chunk smaller
+            chunk = -(-L // n)
+            idx = [chunk * i for i in range(1, n)]
+            return tuple(jnp.split(x, idx, axis=axis))
         return tuple(jnp.split(x, n, axis=axis))
     sizes = [int(s) for s in _static(split, "Split sizes").reshape(-1)]
     idx = np.cumsum(sizes)[:-1].tolist()
@@ -912,6 +921,8 @@ def _tile(node, a, repeats):
 def _flatten(node, a):
     axis = int(node.attrs.get("axis", 1))
     x = _jnp().asarray(a)
+    if axis < 0:  # spec: negative axis counts from the end
+        axis += x.ndim
     lead = int(np.prod(x.shape[:axis])) if axis > 0 else 1
     return x.reshape(lead, -1)
 
@@ -981,11 +992,16 @@ def _topk(node, x, k):
 
     kk = int(np.asarray(_static(k, "TopK k")).item())
     axis = int(node.attrs.get("axis", -1))
+    largest = int(node.attrs.get("largest", 1))
     jnp = _jnp()
     xx = jnp.asarray(x)
     if axis not in (-1, xx.ndim - 1):
         xx = jnp.moveaxis(xx, axis, -1)
-    vals, idx = jax.lax.top_k(xx, kk)
+    if largest:
+        vals, idx = jax.lax.top_k(xx, kk)
+    else:  # smallest-k, ascending (spec: sorted by value when largest=0)
+        vals, idx = jax.lax.top_k(-xx, kk)
+        vals = -vals
     if axis not in (-1, xx.ndim - 1):
         vals = jnp.moveaxis(vals, -1, axis)
         idx = jnp.moveaxis(idx, -1, axis)
@@ -1214,6 +1230,32 @@ def _convtranspose(node, x, w, b=None):
     pads = _pairs([int(p) for p in node.attrs.get("pads", [0] * (2 * nsp))])
     out_pad = [int(p) for p in node.attrs.get("output_padding", [0] * nsp)]
     kernel = list(ww.shape[2:])
+    # output_shape / auto_pad (tf2onnx-style exporters): derive pads from
+    # the requested output size (spec: total_padding = stride*(in-1) +
+    # output_padding + ((k-1)*dil + 1) - output_shape).
+    auto_pad = node.attrs.get("auto_pad", b"NOTSET")
+    auto_pad = (auto_pad.decode() if isinstance(auto_pad, (bytes, bytearray))
+                else str(auto_pad))
+    out_shape_attr = node.attrs.get("output_shape")
+    if out_shape_attr is not None or auto_pad in ("SAME_UPPER", "SAME_LOWER"):
+        in_sp = xx.shape[2:]
+        if out_shape_attr is not None:
+            target = [int(v) for v in out_shape_attr]
+            if len(target) == nsp + 2:  # some exporters include N, C
+                target = target[2:]
+        else:
+            target = [in_sp[i] * strides[i] for i in range(nsp)]
+        pads = []
+        for i in range(nsp):
+            total = max(0, strides[i] * (in_sp[i] - 1) + out_pad[i]
+                        + (kernel[i] - 1) * dilations[i] + 1 - target[i])
+            if auto_pad == "SAME_UPPER":
+                end = total // 2
+                beg = total - end
+            else:
+                beg = total // 2
+                end = total - beg
+            pads.append((beg, end))
     # ONNX convtranspose == gradient of conv: lhs-dilate by stride, pad by
     # (k-1)*d - pad on each side, flip kernel, swap I/O channels.
     ww_t = jnp.flip(ww, axis=tuple(range(2, ww.ndim))).swapaxes(0, 1)
@@ -1326,6 +1368,11 @@ def _lstm(node, x, w, r, b=None, seq_lens=None, init_h=None, init_c=None, p=None
         raise NotImplementedError("LSTM peepholes")
     if node.attrs.get("layout", 0):
         x = jnp.swapaxes(jnp.asarray(x), 0, 1)
+        # layout 1 also swaps initial states: [B, D, H] → [D, B, H]
+        if init_h is not None:
+            init_h = jnp.swapaxes(jnp.asarray(init_h), 0, 1)
+        if init_c is not None:
+            init_c = jnp.swapaxes(jnp.asarray(init_c), 0, 1)
     acts = node.attrs.get("activations")
     f_act, g_act, h_act = (
         (_rnn_activation(acts[0]), _rnn_activation(acts[1]), _rnn_activation(acts[2]))
@@ -1399,6 +1446,8 @@ def _gru(node, x, w, r, b=None, seq_lens=None, init_h=None):
             raise NotImplementedError("GRU sequence_lens (non-full-length)")
     if node.attrs.get("layout", 0):
         x = jnp.swapaxes(jnp.asarray(x), 0, 1)
+        if init_h is not None:  # layout 1 states arrive [B, D, H]
+            init_h = jnp.swapaxes(jnp.asarray(init_h), 0, 1)
     xx = jnp.asarray(x, jnp.float32)
     T, B, _ = xx.shape
     ww, rr = jnp.asarray(w, jnp.float32), jnp.asarray(r, jnp.float32)

@@ -311,3 +311,114 @@ def test_unsupported_op_raises_clearly(tmp_path):
               [("x", F32, [1])], [("y", F32, [1])])
     with pytest.raises(NotImplementedError, match="SomeCustomOp"):
         r(x=np.zeros(1, np.float32))
+
+
+def test_flatten_negative_axis(tmp_path):
+    """ONNX spec: Flatten(axis=-1) on [2,3,4] → (6,4) (negative axes count
+    from the end — review fix)."""
+    x = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    for axis, want in ((-1, (6, 4)), (0, (1, 24)), (2, (6, 4)), (1, (2, 12))):
+        r = build(tmp_path, [ob.node("Flatten", ["x"], ["y"], axis=axis)],
+                  [("x", F32, [2, 3, 4])], [("y", F32, None)],
+                  name=f"f{axis}.onnx")
+        got = np.asarray(r(x=x)["y"])
+        assert got.shape == want, (axis, got.shape)
+        np.testing.assert_array_equal(got.reshape(-1), x.reshape(-1))
+
+
+def test_topk_smallest(tmp_path):
+    x = np.array([[5.0, 1.0, 3.0, 2.0, 4.0]], np.float32)
+    r = build(tmp_path, [ob.node("TopK", ["x", "k"], ["v", "i"], largest=0)],
+              [("x", F32, [1, 5])], [("v", F32, None), ("i", 7, None)],
+              {"k": np.array([2], np.int64)})
+    out = r(x=x)
+    np.testing.assert_array_equal(np.asarray(out["v"]), [[1.0, 2.0]])
+    np.testing.assert_array_equal(np.asarray(out["i"]), [[1, 3]])
+    r2 = build(tmp_path, [ob.node("TopK", ["x", "k"], ["v", "i"], largest=1)],
+               [("x", F32, [1, 5])], [("v", F32, None), ("i", 7, None)],
+               {"k": np.array([2], np.int64)}, name="t2.onnx")
+    np.testing.assert_array_equal(np.asarray(r2(x=x)["v"]), [[5.0, 4.0]])
+
+
+def test_split_uneven_num_outputs(tmp_path):
+    """Opset-18 Split with num_outputs on a non-divisible axis: last chunk
+    smaller ([4,4,2] for length 10), not a crash."""
+    x = np.arange(10, dtype=np.float32)[None, :]
+    r = build(tmp_path,
+              [ob.node("Split", ["x"], ["a", "b", "c"], axis=1, num_outputs=3)],
+              [("x", F32, [1, 10])],
+              [("a", F32, None), ("b", F32, None), ("c", F32, None)])
+    out = r(x=x)
+    assert np.asarray(out["a"]).shape == (1, 4)
+    assert np.asarray(out["b"]).shape == (1, 4)
+    assert np.asarray(out["c"]).shape == (1, 2)
+    np.testing.assert_array_equal(np.asarray(out["c"])[0], [8.0, 9.0])
+
+
+def test_gathernd_negative_indices(tmp_path):
+    data = np.arange(12, dtype=np.float32).reshape(3, 4)
+    idx = np.array([[-1, -1], [0, 0]], np.int64)  # last elem, first elem
+    r = build(tmp_path, [ob.node("GatherND", ["d", "i"], ["y"])],
+              [("d", F32, [3, 4]), ("i", 7, [2, 2])], [("y", F32, None)])
+    got = np.asarray(r(d=data, i=idx)["y"])
+    np.testing.assert_array_equal(got, [11.0, 0.0])
+
+
+def test_convtranspose_output_shape_attr(tmp_path):
+    """tf2onnx-style ConvTranspose with output_shape instead of pads must
+    produce exactly the requested spatial size (torch cross-check)."""
+    import torch
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 2, 7)).astype(np.float32)
+    w = rng.standard_normal((2, 3, 4)).astype(np.float32)  # [Cin, Cout, k]
+    # stride 2, want output length exactly 14 (SAME-style)
+    r = build(tmp_path,
+              [ob.node("ConvTranspose", ["x", "w"], ["y"], strides=[2],
+                       kernel_shape=[4], output_shape=[14])],
+              [("x", F32, [1, 2, 7])], [("y", F32, None)], {"w": w})
+    got = np.asarray(r(x=x)["y"])
+    assert got.shape == (1, 3, 14)
+    # torch oracle: total_padding = 2*(7-1)+((4-1)+1)-14 = 2 → pads (1,1)
+    want = torch.nn.functional.conv_transpose1d(
+        torch.from_numpy(x), torch.from_numpy(w), stride=2, padding=1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_lstm_layout1_initial_states(tmp_path):
+    """layout=1 swaps X AND the initial states ([B, D, H] per spec) —
+    self-consistency vs layout=0 with pre-swapped states (review fix)."""
+    torch = pytest.importorskip("torch")
+    T, B, I, H = 5, 3, 4, 4
+    lstm = torch.nn.LSTM(I, H)
+    W, R, Bias = _torch_lstm_to_onnx_weights(lstm, H)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((T, B, I)).astype(np.float32)
+    h0 = rng.standard_normal((1, B, H)).astype(np.float32)  # [D, B, H]
+    c0 = rng.standard_normal((1, B, H)).astype(np.float32)
+
+    r0 = build(tmp_path, [ob.node(
+        "LSTM", ["x", "W", "R", "B", "", "h0", "c0"], ["Y", "Yh", "Yc"],
+        hidden_size=H)],
+        [("x", F32, [T, B, I]), ("h0", F32, [1, B, H]), ("c0", F32, [1, B, H])],
+        [("Y", F32, None), ("Yh", F32, None), ("Yc", F32, None)],
+        {"W": W, "R": R, "B": Bias}, name="l0.onnx")
+    out0 = r0(x=x, h0=h0, c0=c0)
+
+    r1 = build(tmp_path, [ob.node(
+        "LSTM", ["x", "W", "R", "B", "", "h0", "c0"], ["Y", "Yh", "Yc"],
+        hidden_size=H, layout=1)],
+        [("x", F32, [B, T, I]), ("h0", F32, [B, 1, H]), ("c0", F32, [B, 1, H])],
+        [("Y", F32, None), ("Yh", F32, None), ("Yc", F32, None)],
+        {"W": W, "R": R, "B": Bias}, name="l1.onnx")
+    out1 = r1(x=x.swapaxes(0, 1), h0=h0.swapaxes(0, 1), c0=c0.swapaxes(0, 1))
+
+    np.testing.assert_allclose(np.asarray(out1["Yh"]),
+                               np.asarray(out0["Yh"]).swapaxes(0, 1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out1["Yc"]),
+                               np.asarray(out0["Yc"]).swapaxes(0, 1), atol=1e-6)
+    # torch oracle with the same states
+    ty, (th, tc) = lstm(torch.from_numpy(x),
+                        (torch.from_numpy(h0), torch.from_numpy(c0)))
+    np.testing.assert_allclose(np.asarray(out0["Yh"]), th.detach().numpy(),
+                               atol=1e-5)
