@@ -84,7 +84,9 @@ def _ggml_model(size):
     from crispy_tpu.models.whisper.ggml_io import write_ggml
     from crispy_tpu.models.whisper.weights import init_random
 
-    path = Path(f"/tmp/crispy_bench_ggml_{size}_f16.bin")
+    # v2: conv tensors in the REAL whisper.cpp layout (a pre-fix cached
+    # file would load transposed)
+    path = Path(f"/tmp/crispy_bench_ggml_{size}_f16_v2.bin")
     if not path.exists():
         cfg = CONFIGS[size]
         write_ggml(path, init_random(cfg, seed=0), cfg, ttype=1)

@@ -188,6 +188,10 @@ class ModelManager:
         m = self.find(model_id)
         if m is None or not m.url:
             raise ValueError(f"unknown or undownloadable model: {model_id}")
+        with self._lock:
+            # a cancel issued while nothing was in flight (or racing a
+            # completed download) must not kill THIS download at chunk 1
+            self._cancel.discard(model_id)
         paths.ensure_dir(self.models_dir)
         final = self.models_dir / m.filename
         dl_name = m.url.rsplit("/", 1)[-1]
@@ -201,7 +205,10 @@ class ModelManager:
         status = getattr(resp, "status", 200)
         if offset and status == 200:
             offset = 0  # server ignored Range: restart (model.rs:516-529)
-        total = offset + int(resp.headers.get("Content-Length") or 0)
+        clen = resp.headers.get("Content-Length")
+        # no Content-Length (chunked 206): total unknown — 0 disables the
+        # size check instead of spuriously failing at total == offset
+        total = offset + int(clen) if clen else 0
 
         mode = "ab" if offset else "wb"
         last_emit = 0.0
@@ -243,9 +250,14 @@ class ModelManager:
                 tmp.mkdir(parents=True)
                 with tarfile.open(partial, "r:gz") as tar:
                     tar.extractall(tmp, filter="data")
-                # archives may contain the directory itself or bare files
-                inner = tmp / m.filename
-                src = inner if inner.is_dir() else tmp
+                # archives may contain one top-level directory (whatever
+                # its name — it need not match ModelInfo.filename) or bare
+                # files at the root
+                entries = [p for p in tmp.iterdir()]
+                if len(entries) == 1 and entries[0].is_dir():
+                    src = entries[0]
+                else:
+                    src = tmp
                 if final.exists():
                     shutil.rmtree(final, ignore_errors=True)
                 src.rename(final)

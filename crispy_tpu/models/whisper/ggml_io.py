@@ -98,6 +98,10 @@ def write_ggml(path, params: Dict[str, np.ndarray], cfg: WhisperConfig,
             arr = np.asarray(params[ours], np.float32)
             if transpose:
                 arr = arr.T  # back to ggml's [out, in]
+            if ours.endswith("conv1.w") or ours.endswith("conv2.w"):
+                # real whisper.cpp files store conv weights in torch's
+                # [out, in, k] layout; ours is [k, in, out]
+                arr = arr.transpose(2, 1, 0)
             flat = np.ascontiguousarray(arr).reshape(-1)
             t = ttype
             if arr.ndim < 2 or (t == 8 and flat.size % _QK != 0):

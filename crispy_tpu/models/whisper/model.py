@@ -420,10 +420,16 @@ def beam_decode(
     max_len = P + max_new
     V = params["dec.emb"].shape[0]
 
-    # Beams as rows: row b*beam + j is beam j of batch item b.
-    audio_x = jnp.repeat(audio, beam, axis=0)
+    # Beams as rows: row b*beam + j is beam j of batch item b. Cross K/V
+    # are computed ONCE per batch row and the head tensors repeated (the
+    # beam rows are identical by construction — repeating audio first
+    # would re-run the [T, d] x [d, d] projections beam-fold).
     prompt_x = jnp.repeat(prompt, beam, axis=0)
-    self_k, self_v, cross_k, cross_v = _init_cache(params, cfg, audio_x, max_len)
+    self_k1, self_v1, cross_k1, cross_v1 = _init_cache(params, cfg, audio, max_len)
+    self_k = jnp.repeat(self_k1, beam, axis=1)
+    self_v = jnp.repeat(self_v1, beam, axis=1)
+    cross_k = jnp.repeat(cross_k1, beam, axis=1)
+    cross_v = jnp.repeat(cross_v1, beam, axis=1)
 
     logits_all, self_k, self_v = _prefill(
         params, cfg, prompt_x, self_k, self_v, cross_k, cross_v)

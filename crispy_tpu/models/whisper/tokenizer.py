@@ -93,8 +93,16 @@ class WhisperTokenizer:
         num_languages = None
         if n_vocab is not None:
             num_languages = 100 if n_vocab >= 51866 else 99
-        return WhisperTokenizer(vocab=vocab,
-                                multilingual=len(vocab) >= 50364 - 107,
+        # multilingual from the MODEL's vocab size when known: English (.en)
+        # checkpoints carry n_vocab=51864 but their GPT-2 vocab.json alone
+        # (50257 entries) would pass a text-vocab-size test and misplace
+        # eot/sot by one (garbage prompts). English models: n_vocab 51864;
+        # multilingual: 51865 (v2) / 51866 (v3).
+        if n_vocab is not None:
+            multilingual = n_vocab != 51864
+        else:
+            multilingual = len(vocab) > 50257
+        return WhisperTokenizer(vocab=vocab, multilingual=multilingual,
                                 num_languages=num_languages)
 
     @staticmethod

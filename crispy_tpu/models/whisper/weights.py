@@ -47,7 +47,7 @@ def init_random(cfg: WhisperConfig, seed: int = 0, dtype=np.float32) -> Dict[str
         "dec.ln.g": np.ones(dk, dtype), "dec.ln.b": np.zeros(dk, dtype),
     }
 
-    def attn(prefix, dim, with_bias_k=False):
+    def attn(prefix, dim):
         p[f"{prefix}.q.w"] = w(dim, dim)
         p[f"{prefix}.q.b"] = np.zeros(dim, dtype)
         p[f"{prefix}.k.w"] = w(dim, dim)
@@ -393,8 +393,14 @@ def load_ggml(path) -> Tuple[Dict[str, np.ndarray], WhisperConfig, List[bytes], 
         if transpose:
             arr = arr.T
         if ours.endswith("conv1.w") or ours.endswith("conv2.w"):
-            # ggml conv1d weight: stored [d_out, in, k] reversed → raw is
-            # [k, in, d_out] after our reshape; already matches [k, in, out].
-            pass
+            # whisper.cpp's converter stores conv1d weights with torch's
+            # [out, in, k] layout (dims written innermost-first = (k, in,
+            # out), so our reversed-dims reshape reconstructs [out, in,
+            # k]); the model's "HIO" conv consumes [k, in, out].
+            arr = arr.transpose(2, 1, 0)
+        elif ours.endswith(".b") or ours.endswith(".g"):
+            # conv/ln biases may arrive 2-D ({1, d} in ggml ne order);
+            # flatten so the broadcast adds stay [d]-shaped
+            arr = arr.reshape(-1)
         params[ours] = np.ascontiguousarray(arr, dtype=np.float32)
     return params, cfg, vocab, filters

@@ -15,66 +15,16 @@ from crispy_tpu.models.registry import ModelManager
 
 
 def write_tiny_ggml(path):
-    """Serialize a test-random-config ggml file (reuses the weights layout
-    from tests/test_whisper.py's round-trip)."""
+    """Serialize a test-random-config ggml file through the package's
+    container writer (which emits the REAL whisper.cpp tensor layouts —
+    conv weights [out, in, k])."""
+    from crispy_tpu.models.whisper.ggml_io import write_ggml
     from crispy_tpu.models.whisper.model import CONFIGS
-    from crispy_tpu.models.whisper.weights import init_random, _GGML_STATIC
+    from crispy_tpu.models.whisper.weights import init_random
 
     cfg = CONFIGS["test-random"]
-    params = init_random(cfg, seed=1)
-    inv = {v: k for k, v in _GGML_STATIC.items()}
-    with open(path, "wb") as f:
-        f.write(struct.pack("<I", 0x67676D6C))
-        f.write(struct.pack("<11i", cfg.n_vocab, cfg.n_audio_ctx, cfg.n_audio_state,
-                            cfg.n_audio_head, cfg.n_audio_layer, cfg.n_text_ctx,
-                            cfg.n_text_state, cfg.n_text_head, cfg.n_text_layer,
-                            cfg.n_mels, 0))
-        f.write(struct.pack("<2i", cfg.n_mels, 201))
-        f.write(np.zeros(cfg.n_mels * 201, np.float32).tobytes())
-        f.write(struct.pack("<i", cfg.n_vocab))
-        for i in range(cfg.n_vocab):
-            tok = f"<{i}>".encode()
-            f.write(struct.pack("<i", len(tok)))
-            f.write(tok)
-        # static tensors only (block params fall back to init_random zeros?
-        # no — write everything mappable, transposing linear weights back)
-        from crispy_tpu.models.whisper.weights import _map_ggml_name
-
-        name_map = {}
-        for side, pre, nl in (("encoder", "enc", cfg.n_audio_layer),
-                              ("decoder", "dec", cfg.n_text_layer)):
-            for i in range(nl):
-                for g, o, tr in [
-                    ("attn.query.weight", "attn.q.w", True), ("attn.query.bias", "attn.q.b", False),
-                    ("attn.key.weight", "attn.k.w", True), ("attn.value.weight", "attn.v.w", True),
-                    ("attn.value.bias", "attn.v.b", False), ("attn.out.weight", "attn.out.w", True),
-                    ("attn.out.bias", "attn.out.b", False), ("attn_ln.weight", "ln1.g", False),
-                    ("attn_ln.bias", "ln1.b", False),
-                    ("cross_attn.query.weight", "cross.q.w", True), ("cross_attn.query.bias", "cross.q.b", False),
-                    ("cross_attn.key.weight", "cross.k.w", True), ("cross_attn.value.weight", "cross.v.w", True),
-                    ("cross_attn.value.bias", "cross.v.b", False), ("cross_attn.out.weight", "cross.out.w", True),
-                    ("cross_attn.out.bias", "cross.out.b", False), ("cross_attn_ln.weight", "lnx.g", False),
-                    ("cross_attn_ln.bias", "lnx.b", False),
-                    ("mlp.0.weight", "mlp.fc1.w", True), ("mlp.0.bias", "mlp.fc1.b", False),
-                    ("mlp.2.weight", "mlp.fc2.w", True), ("mlp.2.bias", "mlp.fc2.b", False),
-                    ("mlp_ln.weight", "ln2.g", False), ("mlp_ln.bias", "ln2.b", False),
-                ]:
-                    if side == "encoder" and o.startswith(("cross", "lnx")):
-                        continue
-                    name_map[f"{pre}.{i}.{o}"] = (f"{side}.blocks.{i}.{g}", tr)
-        for ours, arr in params.items():
-            if ours in inv:
-                gname, tr = inv[ours], False
-            elif ours in name_map:
-                gname, tr = name_map[ours]
-            else:
-                continue
-            data = arr.T if tr else arr
-            dims = tuple(reversed(data.shape))
-            f.write(struct.pack("<3i", len(dims), len(gname.encode()), 0))
-            f.write(struct.pack(f"<{len(dims)}i", *dims))
-            f.write(gname.encode())
-            f.write(np.ascontiguousarray(data, np.float32).tobytes())
+    write_ggml(path, init_random(cfg, seed=1), cfg,
+               vocab=[f"<{i}>".encode() for i in range(cfg.n_vocab)], ttype=0)
 
 
 def test_run_transcription_sharded_end_to_end(data_root, tmp_path):

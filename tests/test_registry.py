@@ -126,12 +126,32 @@ class TestDownload:
         docroot, base = served_dir
         (docroot / "ggml-small.bin").write_bytes(b"D" * 500000)
         _patch_url(monkeypatch, "small", f"{base}/ggml-small.bin")
-        manager.cancel_download("small")
-        with pytest.raises(reg.DownloadCancelled):
-            manager.download_model("small", chunk_size=1024)
+        # cancel ISSUED DURING the download (via the first progress event)
+        unlisten = manager.bus.listen(
+            "model-download-progress",
+            lambda p: manager.cancel_download(p["model_id"]))
+        try:
+            with pytest.raises(reg.DownloadCancelled):
+                manager.download_model("small", chunk_size=1024,
+                                       progress_every=0.0)
+        finally:
+            unlisten()
         assert not manager.is_downloaded("small")
         assert ("model-state-changed",
                 {"model_id": "small", "state": "cancelled"}) in manager.bus.history
+
+    def test_stale_cancel_does_not_kill_next_download(self, served_dir, manager,
+                                                      monkeypatch):
+        """A cancel with nothing in flight is a no-op (the reference's
+        cancel map only holds active downloads, model.rs:468-482) — it must
+        not abort the NEXT download at its first chunk."""
+        docroot, base = served_dir
+        payload = b"W" * 4096
+        (docroot / "ggml-small.bin").write_bytes(payload)
+        _patch_url(monkeypatch, "small", f"{base}/ggml-small.bin")
+        manager.cancel_download("small")  # stale: nothing in flight
+        out = manager.download_model("small")
+        assert out.read_bytes() == payload
 
     def test_archive_extraction(self, served_dir, manager, monkeypatch):
         docroot, base = served_dir

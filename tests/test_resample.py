@@ -123,3 +123,26 @@ class TestPolyphase:
         n = min(a.size, b.size)
         assert abs(a.size - b.size) <= 1
         np.testing.assert_allclose(a[:n], b[:n], atol=2e-4)
+
+
+def test_downsample_antialias_stopband():
+    """48k→16k (the capture→ASR path) must actually attenuate out-of-band
+    content: a 10 kHz tone may not fold into the 16 kHz output (review
+    fix: the prototype filter length must scale with max(up, down) — the
+    up-scaled version collapsed to ~25 taps and let aliases through at
+    −16.6 dB)."""
+    from crispy_tpu.dsp.resample import resample_poly
+
+    sr = 48000
+    t = np.arange(sr) / sr
+    x = np.sin(2 * np.pi * 10000 * t).astype(np.float32)
+    y = resample_poly(x, 48000, 16000, use_jax=False)
+    supp_db = 20 * np.log10(
+        np.sqrt((y[200:-200] ** 2).mean()) / np.sqrt((x ** 2).mean()) + 1e-12)
+    assert supp_db < -60, f"alias suppression only {supp_db:.1f} dB"
+    # and the passband is flat
+    x6 = np.sin(2 * np.pi * 6000 * t).astype(np.float32)
+    y6 = resample_poly(x6, 48000, 16000, use_jax=False)
+    droop = 20 * np.log10(
+        np.sqrt((y6[200:-200] ** 2).mean()) / np.sqrt((x6 ** 2).mean()))
+    assert droop > -0.5, f"passband droop {droop:.2f} dB"

@@ -159,6 +159,10 @@ class TestGgml:
                 if gname is None:
                     continue
                 data = arr.T if transposed else arr
+                if ours.endswith("conv1.w") or ours.endswith("conv2.w"):
+                    # real whisper.cpp files store conv weights in torch's
+                    # [out, in, k]; ours is [k, in, out]
+                    data = arr.transpose(2, 1, 0)
                 dims = tuple(reversed(data.shape))
                 f.write(struct.pack("<3i", len(dims), len(gname.encode()), 0))
                 f.write(struct.pack(f"<{len(dims)}i", *dims))
