@@ -77,8 +77,10 @@ class CrispyApp:
 
     # -- audio ----------------------------------------------------------------
     def get_platform(self) -> str:
-        return {"darwin": "macos", "win32": "windows"}.get(_platform.system().lower(),
-                                                           _platform.system().lower())
+        # platform.system() → Darwin/Windows/Linux (never sys.platform's
+        # "win32"); only darwin needs renaming
+        return {"darwin": "macos"}.get(_platform.system().lower(),
+                                       _platform.system().lower())
 
     def get_input_devices(self) -> List[str]:
         return self.monitoring.registry.get_input_devices()
@@ -184,7 +186,11 @@ class CrispyApp:
     def delete_model(self, model_id: str) -> bool:
         ok = self.model_manager.delete_model(model_id)
         if self.selected_model.get() == model_id:
-            self.selected_model.set(None)  # delete clears selection
+            self.selected_model.set(None)  # delete clears selection...
+            # ...including the PERSISTED one — otherwise a restart restores
+            # the deleted model as active and transcription fails at load
+            settings_mod.update_app_setting("selected_transcription_model",
+                                            "none", self._data_root)
         return ok
 
     def set_active_model(self, model_id: str) -> None:

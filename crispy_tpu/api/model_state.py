@@ -110,10 +110,19 @@ class ModelStateTracker:
                                "downloaded": downloaded, "speed": max(0.0, smoothed)}
 
     def _on_complete(self, payload) -> None:
+        mid = _model_id(payload)
         with self._lock:
-            self.progress.clear()
-            self.stats.clear()
-            self.status = "unloaded" if self.current_model_id == "none" else "ready"
+            if mid:  # clear only THIS model; concurrent downloads keep
+                self.progress.pop(mid, None)  # their progress + speed EMA
+                self.stats.pop(mid, None)
+            else:
+                self.progress.clear()
+                self.stats.clear()
+            if self.progress or self.stats:
+                self.status = "downloading"  # others still in flight
+            else:
+                self.status = ("unloaded" if self.current_model_id == "none"
+                               else "ready")
 
     def _on_extract_start(self, payload) -> None:
         mid = _model_id(payload)

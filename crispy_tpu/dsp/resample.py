@@ -126,19 +126,27 @@ class PullResampler:
                 self._buf.pop(0)
             self._buf.append(np.float32(s))
 
-    def next_sample(self) -> float:
+    def next_sample_opt(self):
+        """One output sample, or None when under-buffered (the reference's
+        early `return 0.0` paths, audio.rs:168-179 — distinct from a real
+        0.0 sample so callers can skip their post-processing exactly when
+        the reference does)."""
         if len(self._buf) < 2:
-            return 0.0
+            return None
         step = self.input_rate / self.output_rate
         while self.resample_pos >= 1.0:
             self._buf.pop(0)
             self.resample_pos -= 1.0
             if len(self._buf) < 2:
-                return 0.0
+                return None
         s0, s1 = self._buf[0], self._buf[1]
         frac = np.float32(self.resample_pos)
         self.resample_pos += step
         return float(s0 + (s1 - s0) * frac)
+
+    def next_sample(self) -> float:
+        s = self.next_sample_opt()
+        return 0.0 if s is None else s
 
 
 def resample_block(samples: np.ndarray, from_rate: float, to_rate: float) -> np.ndarray:

@@ -58,7 +58,10 @@ def do_stream_chat(
             "Authorization": f"Bearer {llm.api_key}",
         },
     )
-    with urllib.request.urlopen(req) as resp:
+    # socket timeout: a stalled endpoint must surface as a
+    # transcription-chat-error, not hang the worker forever with the UI
+    # spinner never resolving
+    with urllib.request.urlopen(req, timeout=120) as resp:
         for raw in resp:
             line = raw.decode("utf-8", errors="replace").strip()
             if not line.startswith("data:"):

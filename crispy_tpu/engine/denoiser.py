@@ -105,9 +105,9 @@ class LegacyProcessor:
         return out.astype(np.float32)
 
     def next_sample(self) -> float:
-        s = self._pull.next_sample()
-        if s == 0.0 and len(self._pull._buf) < 2:
-            return 0.0
+        s = self._pull.next_sample_opt()
+        if s is None:  # under-buffered: the reference returns 0.0 with no
+            return 0.0  # noise draw and no volume scale (audio.rs:168-179)
         if self.kind == "noisy":
             s += self._rng.next_noise() * 0.05
         return s * self.volume
@@ -205,8 +205,15 @@ class NsState:
     def set_model(self, name: str) -> None:
         if name != self.model_name:
             vol = self.volume
+            proc = self._build(name, vol)
+            if isinstance(proc, RnnNoiseProcessor):
+                # warm up BEFORE swapping in: the first device step pays
+                # XLA compilation (seconds) — taken on a live block it
+                # would blow the 10 ms budget (same reason monitoring
+                # warms up at start)
+                proc.push_block(np.zeros(480, np.float32))
             self.model_name = name
-            self._proc = self._build(name, vol)
+            self._proc = proc
 
     def push_sample(self, sample: float):
         return self._proc.push_sample(sample)

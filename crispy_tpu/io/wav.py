@@ -49,8 +49,13 @@ def _walk_chunks(f: io.BufferedIOBase) -> Optional[WavFormat]:
             return None
         chunk_id = chunk_header[0:4]
         (chunk_size,) = struct.unpack("<I", chunk_header[4:8])
+        # RIFF: chunks are word-aligned — an odd-sized chunk is followed by
+        # a pad byte NOT counted in chunk_size. (The reference's parser
+        # skips only chunk_size, recording.rs:437; spec-conformant WAVs
+        # with odd LIST/INFO chunks would misparse there — fixed here.)
+        pad = chunk_size & 1
         if chunk_id == b"fmt ":
-            fmt_data = f.read(chunk_size)
+            fmt_data = f.read(chunk_size + pad)
             if len(fmt_data) < 16:
                 return None
             audio_format, num_channels = struct.unpack("<HH", fmt_data[0:4])
@@ -68,8 +73,8 @@ def _walk_chunks(f: io.BufferedIOBase) -> Optional[WavFormat]:
                 data_size=chunk_size,
             )
         else:
-            # Skip unknown chunk (LIST, INFO, ...).
-            f.seek(chunk_size, io.SEEK_CUR)
+            # Skip unknown chunk (LIST, INFO, ...) including its pad byte.
+            f.seek(chunk_size + pad, io.SEEK_CUR)
 
 
 def read_format(path: PathLike) -> Optional[WavFormat]:
@@ -95,6 +100,9 @@ def get_wav_duration(path: PathLike) -> Optional[float]:
 
 def _decode(raw: bytes, fmt: WavFormat) -> np.ndarray:
     """Decode raw PCM bytes → float32 array shaped (frames, channels) in [-1, 1]."""
+    width = max(fmt.bits_per_sample // 8, 1)
+    if len(raw) % width:  # truncated mid-sample: decode the complete ones
+        raw = raw[: len(raw) - (len(raw) % width)]
     if fmt.audio_format == 3 and fmt.bits_per_sample == 32:
         data = np.frombuffer(raw, dtype="<f4").astype(np.float32)
     elif fmt.audio_format == 1 and fmt.bits_per_sample == 16:

@@ -48,6 +48,9 @@ class AppSettings:
     autostart_enabled: str = "false"
     diarization_enabled: str = "false"
     diarization_max_speakers: str = "6"
+    # persisted-but-unused, faithfully: the reference keeps the key for
+    # settings compatibility but its NME-SC clustering ignores it
+    # ("obsolete with spectral auto-count", diarization.rs:359)
     diarization_threshold: str = "0.50"
     diarization_merge_gap: str = "2.5"
 

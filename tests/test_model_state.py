@@ -132,3 +132,25 @@ def test_real_downloader_drives_tracker(data_root):
         assert snap["models"] == {}
     finally:
         srv.shutdown()
+
+
+def test_complete_clears_only_that_model():
+    """One model finishing must not wipe a concurrent download's progress
+    or speed EMA, and status stays 'downloading' while others run."""
+    from crispy_tpu.api.events import EventBus
+    from crispy_tpu.api.model_state import ModelStateTracker
+
+    bus = EventBus()
+    t = ModelStateTracker(bus=bus)
+    for mid in ("a", "b"):
+        bus.emit("model-download-progress",
+                 {"model_id": mid, "downloaded": 1 << 20, "total": 4 << 20,
+                  "percent": 25.0})
+    bus.emit("model-download-complete", {"model_id": "a"})
+    snap = t.snapshot()
+    assert "b" in snap["models"] and snap["models"]["b"]["percent"] == 25.0
+    assert "a" not in snap["models"]
+    assert snap["status"] == "downloading"
+    bus.emit("model-download-complete", {"model_id": "b"})
+    assert t.snapshot()["status"] in ("ready", "unloaded")
+    t.close()

@@ -121,3 +121,33 @@ class TestWavWriter:
             w.write_samples(np.zeros(480, np.float32), np.zeros(480, np.float32))
         p = w.finalize()
         assert wav.get_wav_duration(p) == pytest.approx(1.0)
+
+
+def test_odd_sized_list_chunk_with_pad_byte(tmp_path):
+    """RIFF word alignment: an odd-sized LIST chunk is followed by a pad
+    byte not counted in chunk_size — the walker must skip it (review
+    fix; the reference's parser would misparse such spec-valid files)."""
+    import struct
+
+    data = (np.sin(np.arange(480) / 10) * 0.5).astype(np.float32)
+    pcm = (data * 32767).astype("<i2").tobytes()
+    odd_payload = b"INFOx"  # 5 bytes: odd → pad byte follows
+    chunks = b"LIST" + struct.pack("<I", len(odd_payload)) + odd_payload + b"\x00"
+    fmt = struct.pack("<HHIIHH", 1, 1, 48000, 96000, 2, 16)
+    body = (b"WAVE" + chunks
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    p = tmp_path / "odd.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+    audio, sr = wav.read_wav(p)
+    assert sr == 48000 and audio.shape[0] == 480
+    assert abs(wav.get_wav_duration(p) - 480 / 48000) < 1e-9
+
+
+def test_truncated_mid_sample_decodes_complete_frames(tmp_path):
+    data = (np.sin(np.arange(480) / 7) * 0.5).astype(np.float32)
+    p = wav.write_wav(tmp_path / "t.wav", data, 48000)
+    raw = p.read_bytes()
+    p.write_bytes(raw[:-3])  # cut mid-sample (odd byte count)
+    audio, sr = wav.read_wav(p)  # complete frames decode, no ValueError
+    assert sr == 48000 and audio.shape[0] >= 470
