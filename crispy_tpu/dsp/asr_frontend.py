@@ -83,10 +83,18 @@ def nemo_log_mel(audio: jnp.ndarray, n_mels: int = 80) -> jnp.ndarray:
     power = _power_stft(x, 512, 400, 160)
     mel = jnp.einsum("bfk,km->bfm", power, _nemo_fb(n_mels))  # [B, F, M]
     logmel = jnp.log(mel + 2.0 ** -24)
-    mu = jnp.mean(logmel, axis=1, keepdims=True)
+    # Normalize over VALID frames only (NeMo normalizes over seq_len):
+    # zero-padded tail frames are all at the log(2^-24) floor and would
+    # drag the stats toward silence — a padded 5 s tail chunk would
+    # normalize its speech with badly skewed mean/std. A frame is pad iff
+    # every mel bin sits at the floor.
+    floor = jnp.float32(np.log(2.0 ** -24))
+    valid = jnp.any(logmel > floor + 1e-3, axis=-1, keepdims=True)  # [B,F,1]
+    nv = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1)
+    mu = jnp.sum(jnp.where(valid, logmel, 0.0), axis=1, keepdims=True) / nv
     # torch.std default: unbiased (N-1)
-    n_frames = logmel.shape[1]
-    var = jnp.sum((logmel - mu) ** 2, axis=1, keepdims=True) / max(n_frames - 1, 1)
+    var = jnp.sum(jnp.where(valid, (logmel - mu) ** 2, 0.0), axis=1,
+                  keepdims=True) / jnp.maximum(nv - 1, 1)
     out = (logmel - mu) / (jnp.sqrt(var) + 1e-5)
     return out.swapaxes(1, 2)  # [B, M, F]
 

@@ -299,12 +299,18 @@ def load_engine(model_id: str, model_manager: ModelManager,
             params = {k: jnp.asarray(v)
                       for k, v in np.load(path / "params.npz").items()}
             vocab = SentencePieceVocab.load(path / "tokenizer.model")
+            from ..dsp import asr_frontend as fe
 
             class _ParakeetTdtEngine(EngineProtocol):
                 name = model_id
 
                 def transcribe_batch(self, chunks, language="en"):
-                    feats = fbank(jnp.asarray(np.atleast_2d(chunks)), cfg.n_mels)
+                    # NeMo models train on the NeMo mel preprocessor
+                    # (preemphasis + slaney mel + per-feature norm), not
+                    # kaldi fbank — same frontend as the ONNX-bundle path
+                    feats = fe.nemo_log_mel(
+                        jnp.asarray(np.atleast_2d(chunks)), cfg.n_mels
+                    ).swapaxes(1, 2)
                     toks, n = pk.tdt_greedy_decode(params, cfg, feats)
                     toks, n = np.asarray(toks), np.asarray(n)
                     return [vocab.decode(row[:k]) for row, k in zip(toks, n)]
@@ -392,14 +398,18 @@ def load_engine(model_id: str, model_manager: ModelManager,
                 return prompt_ids
             return [lang if t == en else t for t in prompt_ids]
 
+        from ..dsp import asr_frontend as fe
+
         class _CanaryEngine(EngineProtocol):
             name = model_id
             prompt_for_language = staticmethod(_prompt_for_language)
 
             def transcribe_batch(self, chunks, language="en"):
                 B = len(np.atleast_2d(chunks))
-                feats = fbank(jnp.asarray(np.atleast_2d(chunks)),
-                              cfg.encoder.n_mels)
+                # NeMo mel preprocessor (same frontend as the ONNX path)
+                feats = fe.nemo_log_mel(
+                    jnp.asarray(np.atleast_2d(chunks)), cfg.encoder.n_mels
+                ).swapaxes(1, 2)
                 prompt = jnp.asarray(np.tile(
                     np.array(self.prompt_for_language(language), np.int32),
                     (B, 1)))
@@ -429,11 +439,17 @@ def load_engine(model_id: str, model_manager: ModelManager,
         params = {k: jnp.asarray(v)
                   for k, v in np.load(path / "params.npz").items()}
 
+        from ..dsp import asr_frontend as fe
+
         class _GigaamEngine(EngineProtocol):
             name = model_id
 
             def transcribe_batch(self, chunks, language="ru"):
-                feats = fbank(jnp.asarray(np.atleast_2d(chunks)), cfg.n_mels)
+                # GigaAM trains on the torchaudio MelSpectrogram recipe
+                # (same frontend as the ONNX-bundle path)
+                feats = fe.gigaam_log_mel(
+                    jnp.asarray(np.atleast_2d(chunks)), cfg.n_mels
+                ).swapaxes(1, 2)
                 logits = pk.ctc_logits(params, cfg, feats)
                 seqs = pk.ctc_greedy(np.asarray(logits), cfg.blank_id)
                 return ["".join(labels[i] for i in s if i < len(labels)).strip()

@@ -142,6 +142,11 @@ def encode(params, cfg: MoonshineConfig, audio: jnp.ndarray) -> jnp.ndarray:
         + params["enc.conv3.b"], approximate=False)
 
     T = x.shape[1]
+    if T > params["rope_cos"].shape[0]:
+        raise ValueError(
+            f"audio too long: {T} encoder frames exceed the {params['rope_cos'].shape[0]}"
+            "-position RoPE table (~64 s) — chunk the input (the pipeline "
+            "transcribes 30 s chunks)")
     cos = params["rope_cos"][:T]
     sin = params["rope_sin"][:T]
     scale = cfg.head_dim ** -0.5
@@ -300,7 +305,7 @@ def from_hf_state_dict(sd: Dict[str, np.ndarray]) -> Tuple[Dict[str, np.ndarray]
             t = f"{t_side}.layers.{i}"
             for ours, theirs in (("attn", "self_attn"),) + ((("cross", "encoder_attn"),) if side == "dec" else ()):
                 for proj in ("q", "k", "v", "o"):
-                    p[f"{side}.{i}.{ours}.{proj}.w"] = get(f"{t}.{ours if False else theirs}.{proj}_proj.weight").T
+                    p[f"{side}.{i}.{ours}.{proj}.w"] = get(f"{t}.{theirs}.{proj}_proj.weight").T
             p[f"{side}.{i}.mlp.fc1.w"] = get(f"{t}.mlp.fc1.weight").T
             p[f"{side}.{i}.mlp.fc1.b"] = get(f"{t}.mlp.fc1.bias")
             p[f"{side}.{i}.mlp.fc2.w"] = get(f"{t}.mlp.fc2.weight").T

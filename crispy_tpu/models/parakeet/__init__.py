@@ -241,9 +241,14 @@ def tdt_greedy_decode(p, cfg: ParakeetConfig, mel: jnp.ndarray, max_symbols: int
     blank = cfg.blank_id
     durs = jnp.asarray(np.array(cfg.durations, np.int32))
 
+    # iteration bound: every frame may emit up to ~max-symbols-per-frame
+    # tokens plus one advancing blank — bounding by max_symbols alone
+    # would stop mid-utterance on long chunks (T can exceed max_symbols)
+    max_iters = T + max_symbols
+
     def cond(state):
         i, t, h, c, y, toks, n = state
-        return jnp.logical_and(i < max_symbols, jnp.any(t < T))
+        return jnp.logical_and(i < max_iters, jnp.any(t < T))
 
     def body(state):
         i, t, h, c, y, toks, n = state
@@ -261,7 +266,7 @@ def tdt_greedy_decode(p, cfg: ParakeetConfig, mel: jnp.ndarray, max_symbols: int
         c = jnp.where(emit[:, None], c2, c)
         toks = toks.at[jnp.arange(B), jnp.minimum(n, max_symbols - 1)].set(
             jnp.where(emit, tok, blank))
-        n = n + emit.astype(jnp.int32)
+        n = jnp.minimum(n + emit.astype(jnp.int32), max_symbols)
         # time advances by duration (>=1 forced on blank-with-0 to progress)
         step = jnp.where(active, jnp.maximum(dur, jnp.where(emit, 0, 1)), 0)
         t = t + step

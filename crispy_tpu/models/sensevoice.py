@@ -59,17 +59,27 @@ CONFIGS = {
 
 
 def lfr(feats: jnp.ndarray, m: int = 7, n: int = 6) -> jnp.ndarray:
-    """Low-frame-rate stacking: [B, T, F] → [B, ceil(T/n), m·F].
+    """Low-frame-rate stacking with FunASR's left padding ((m-1)//2 copies
+    of the first frame) — the single implementation shared with the
+    ONNX-bundle path (dsp.asr_frontend.lfr), so both SenseVoice paths
+    produce identical features for identical audio."""
+    from ..dsp.asr_frontend import lfr as _lfr
 
-    Output step i concatenates frames i·n .. i·n+m−1; frames past the end
-    repeat the last frame (the standard LFR right-padding).
-    """
-    B, T, F = feats.shape
-    T_out = -(-T // n)
-    pad = (T_out - 1) * n + m - T
-    x = jnp.concatenate([feats, jnp.repeat(feats[:, -1:], pad, axis=1)], axis=1)
-    idx = np.arange(T_out)[:, None] * n + np.arange(m)[None, :]
-    return x[:, idx].reshape(B, T_out, m * F)
+    return _lfr(feats, m, n)
+
+
+def sinusoidal_pe(T: int, depth: int) -> np.ndarray:
+    """FunASR SinusoidalPositionEncoder: positions are 1-indexed;
+    pe = [sin(pos*inv_ts) ‖ cos(pos*inv_ts)] at the INPUT width (560)."""
+    positions = np.arange(1, T + 1, dtype=np.float64)[:, None]
+    half = depth // 2
+    log_inc = np.log(10000.0) / (half - 1)
+    inv_ts = np.exp(np.arange(half, dtype=np.float64) * -log_inc)[None, :]
+    scaled = positions * inv_ts
+    pe = np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1)
+    if pe.shape[1] < depth:  # odd depth: zero-pad the tail column
+        pe = np.pad(pe, ((0, 0), (0, depth - pe.shape[1])))
+    return pe.astype(np.float32)
 
 
 def _ln(x, g, b, eps=1e-12):
@@ -101,8 +111,10 @@ def _sanm_attention(p, pre, x, cfg: SenseVoiceConfig):
     att = jnp.einsum("bhqd,bhkd->bhqk", heads(q), heads(k)) / np.sqrt(hd)
     att = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(att, axis=-1), heads(v))
     att = att.swapaxes(1, 2).reshape(B, T, d)
-    out = jnp.einsum("btd,de->bte", att + fsmn, p[f"{pre}.out.w"]) + p[f"{pre}.out.b"]
-    return out
+    # FunASR MultiHeadedAttentionSANM: fsmn memory is added AFTER the
+    # output projection (att_outs + fsmn_memory), not before it
+    out = jnp.einsum("btd,de->bte", att, p[f"{pre}.out.w"]) + p[f"{pre}.out.b"]
+    return out + fsmn
 
 
 def _block(p, pre, x, cfg: SenseVoiceConfig, residual_attn: bool):
@@ -116,13 +128,20 @@ def _block(p, pre, x, cfg: SenseVoiceConfig, residual_attn: bool):
 
 def encode(p, cfg: SenseVoiceConfig, feats: jnp.ndarray,
            prompt_ids: jnp.ndarray) -> jnp.ndarray:
-    """fbank [B, T, feat_dim] + prompt ids [n_prompt] → [B, P+T', d]."""
+    """fbank [B, T, feat_dim] + prompt ids [n_prompt] → [B, P+T', d].
+
+    FunASR SenseVoiceSmall order: LFR → CMVN → concat the INPUT-width
+    (560-d) query embeddings BEFORE the encoder → ×sqrt(d) scale →
+    sinusoidal PE (1-indexed positions, input width) → encoders0
+    (560→d, no attention residual) → pre-LN SAN-M blocks → after-norm.
+    """
     x = lfr(feats, cfg.lfr_m, cfg.lfr_n)
     x = (x - p["cmvn.mean"]) * p["cmvn.istd"]
-    x = x * np.sqrt(cfg.hidden).astype(np.float32)
     prompt = p["embed"][prompt_ids][None].repeat(x.shape[0], axis=0)
+    x = jnp.concatenate([prompt, x], axis=1)  # queries ride through enc.0
+    x = x * np.sqrt(cfg.hidden).astype(np.float32)
+    x = x + jnp.asarray(sinusoidal_pe(x.shape[1], cfg.input_dim))
     x = _block(p, "enc.0", x, cfg, residual_attn=False)  # 560 → d
-    x = jnp.concatenate([prompt, x], axis=1)
     for i in range(1, cfg.layers):
         x = _block(p, f"enc.{i}", x, cfg, residual_attn=True)
     return _ln(x, p["enc.ln.g"], p["enc.ln.b"])
@@ -159,7 +178,10 @@ def init_random(cfg: SenseVoiceConfig, seed: int = 0) -> Dict[str, np.ndarray]:
     p: Dict[str, np.ndarray] = {
         "cmvn.mean": np.zeros(cfg.input_dim, np.float32),
         "cmvn.istd": np.ones(cfg.input_dim, np.float32),
-        "embed": (rng.standard_normal((cfg.vocab_size, d)) * 0.02).astype(np.float32),
+        # query-embedding table at the INPUT width (FunASR: nn.Embedding
+        # to input_size=560; prompts pass through encoders0 like speech)
+        "embed": (rng.standard_normal((cfg.vocab_size, cfg.input_dim)) * 0.02
+                  ).astype(np.float32),
         "enc.ln.g": np.ones(d, np.float32), "enc.ln.b": np.zeros(d, np.float32),
         "ctc.w": w(d, cfg.vocab_size), "ctc.b": np.zeros(cfg.vocab_size, np.float32),
     }

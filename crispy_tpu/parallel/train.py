@@ -46,7 +46,7 @@ def _gru(params, prefix, h, x):
     w, u, b = params[f"{prefix}.w"], params[f"{prefix}.u"], params[f"{prefix}.b"]
     n = u.shape[0]
     pre = jnp.dot(x, w) + b
-    rec = jnp.dot(h, u)
+    rec = jnp.dot(h, u[:, : 2 * n])  # candidate block recomputed on h*r below
     z = jax.nn.sigmoid(pre[..., :n] + rec[..., :n])
     r = jax.nn.sigmoid(pre[..., n:2 * n] + rec[..., n:2 * n])
     cand = jax.nn.relu(pre[..., 2 * n:] + jnp.dot(h * r, u[:, 2 * n:]))

@@ -25,10 +25,11 @@ def test_lfr_shapes_and_content():
     x = jnp.asarray(np.arange(24, dtype=np.float32).reshape(1, 12, 2))
     y = np.asarray(lfr(x, m=3, n=2))
     assert y.shape == (1, 6, 6)
-    # step 0 concatenates frames 0,1,2
-    np.testing.assert_array_equal(y[0, 0], np.arange(6, dtype=np.float32))
-    # last step (i=5) takes frames 10, 11, 11(repeat-pad)
-    np.testing.assert_array_equal(y[0, 5], [20, 21, 22, 23, 22, 23])
+    # FunASR left pad (m-1)//2 = 1 copy of frame 0: step 0 stacks
+    # frames [0(pad), 0, 1]
+    np.testing.assert_array_equal(y[0, 0], [0, 1, 0, 1, 2, 3])
+    # step i covers source frames i*n-1 .. i*n+1: step 5 → frames 9,10,11
+    np.testing.assert_array_equal(y[0, 5], [18, 19, 20, 21, 22, 23])
 
 
 def test_ctc_logits_shape_and_prompt_positions():
