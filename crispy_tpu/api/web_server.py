@@ -15,6 +15,7 @@ invoke_handler names (main.rs:372-425) as carried by CrispyApp.
 
 from __future__ import annotations
 
+import inspect
 import json
 import queue
 import threading
@@ -154,10 +155,15 @@ class _Handler(BaseHTTPRequestHandler):
         app = self.server_ref.app
         if name not in COMMANDS:
             return self._json({"error": f"unknown command '{name}'"}, 404)
+        method = getattr(app, name)
         try:
-            result = getattr(app, name)(**kwargs)
+            # Bind first so only genuinely bad kwargs map to 400; a
+            # TypeError raised *inside* a command is an internal error.
+            inspect.signature(method).bind(**kwargs)
         except TypeError as e:
             return self._json({"error": str(e)}, 400)
+        try:
+            result = method(**kwargs)
         except Exception as e:  # command errors come back as the reference's
             return self._json({"error": str(e)}, 500)  # Result<_, String>
         if isinstance(result, threading.Thread):

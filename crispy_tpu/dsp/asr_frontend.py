@@ -90,6 +90,11 @@ def nemo_log_mel(audio: jnp.ndarray, n_mels: int = 80) -> jnp.ndarray:
     # every mel bin sits at the floor.
     floor = jnp.float32(np.log(2.0 ** -24))
     valid = jnp.any(logmel > floor + 1e-3, axis=-1, keepdims=True)  # [B,F,1]
+    # A fully-silent row (digital zero: every frame at the floor) has no
+    # valid frames; normalizing against mu=0/var=0 would blow every bin up
+    # to ~-1.7e6. Fall back to all-frame statistics for those rows, which
+    # reproduces the pre-masking behavior (silence normalizes to ~0).
+    valid = valid | ~jnp.any(valid, axis=1, keepdims=True)
     nv = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1)
     mu = jnp.sum(jnp.where(valid, logmel, 0.0), axis=1, keepdims=True) / nv
     # torch.std default: unbiased (N-1)

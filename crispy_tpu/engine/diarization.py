@@ -24,6 +24,7 @@ ONNX weights in and wire loaders here).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -204,7 +205,28 @@ def _connected(lap: np.ndarray) -> bool:
 
 
 def nme_sc(embeddings: np.ndarray, max_speakers: int) -> np.ndarray:
-    """Spectral clustering with automatic speaker count (NME criterion)."""
+    """Spectral clustering with automatic speaker count (NME criterion).
+
+    Dispatches to the device implementation (`nme_device.nme_sc_device`:
+    one jitted program — batched eigvalsh p-sweep, matmul reachability,
+    on-device k-means) unless CRISPY_NME=host opts out; the host-numpy
+    oracle below is kept for parity tests and as the fallback."""
+    emb = np.asarray(embeddings, np.float32)
+    if emb.shape[0] > 2 and os.environ.get("CRISPY_NME", "device") != "host":
+        try:
+            from . import nme_device
+
+            return nme_device.nme_sc_device(emb, max_speakers)
+        except Exception as e:  # pragma: no cover - defensive fallback
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "device NME-SC failed (%s); falling back to host", e)
+    return nme_sc_host(emb, max_speakers)
+
+
+def nme_sc_host(embeddings: np.ndarray, max_speakers: int) -> np.ndarray:
+    """Host-numpy NME-SC (the device path's oracle)."""
     emb = np.asarray(embeddings, np.float32)
     n = emb.shape[0]
     if n == 0:
@@ -254,15 +276,12 @@ def nme_sc(embeddings: np.ndarray, max_speakers: int) -> np.ndarray:
     # eigengap over-counts on near-uniform affinities (one speaker, tight
     # blob). If the found clusters aren't actually separated in affinity
     # space, collapse to one speaker.
-    within, between, nw, nb = 0.0, 0.0, 0, 0
-    for i in range(n):
-        for j in range(i + 1, n):
-            if labels[i] == labels[j]:
-                within += aff[i, j]
-                nw += 1
-            else:
-                between += aff[i, j]
-                nb += 1
+    same = labels[:, None] == labels[None, :]
+    triu = np.triu(np.ones((n, n), bool), 1)
+    nw = int(np.count_nonzero(same & triu))
+    nb = int(np.count_nonzero(~same & triu))
+    within = float(aff[same & triu].sum())
+    between = float(aff[~same & triu].sum())
     if nw and nb and (between / nb) > 0.9 * (within / nw):
         return np.zeros(n, np.int64)
     return labels

@@ -1,0 +1,220 @@
+"""Device-side NME-SC spectral clustering.
+
+TPU-first port of the host-numpy implementation in
+`engine/diarization.py` (reference algorithm:
+src-tauri/src/managers/diarization.rs:422-611, Park et al. 2019).
+The whole pipeline — cosine affinity, top-p row pruning, the p-sweep of
+pruned-Laplacian eigendecompositions, connectivity, spectral embedding,
+deterministic farthest-point k-means, and the separation check — runs as
+ONE jitted program per (bucketed) problem shape:
+
+  * n is padded to a power-of-two bucket so recompiles are rare; padded
+    rows are masked everywhere and their Laplacian diagonal is pushed to
+    3.0 (> the 2.0 spectral ceiling of a normalized Laplacian) so they
+    can never enter the smallest-k eigenvalues.
+  * The p-sweep batches `jnp.linalg.eigvalsh` over p via `lax.map`
+    (batch_size-chunked to bound the [p, n, n] working set) instead of
+    the host's serial O(p_max) loop of `np.linalg.eigvalsh` calls.
+  * Graph connectivity (the host BFS) becomes ⌈log2 n⌉ boolean matmul
+    squarings of (A + I) — exact reachability, MXU-friendly.
+  * The host's O(n²) pure-Python separation double-loop becomes three
+    masked reductions.
+
+Numerical parity: identical arithmetic order is not guaranteed (XLA
+eigh vs LAPACK, fused reductions), so labels can differ from the host
+oracle only where the host itself is tie-break sensitive; the test
+suite asserts partition equality on the reference's synthetic fixtures.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_SWEEP_BATCH = 8  # p-chunk for lax.map: bounds the [batch, N, N] working set
+
+
+def _bucket(n: int, lo: int = 8) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _p_cap(n: int) -> int:
+    """Static upper bound of the sweep: p_max = min(n-1, max(⌊√n⌋,2)·2)
+    (monotone in n, so the bucket's cap covers every real n it holds)."""
+    return int(min(n - 1, max(int(np.sqrt(n)), 2) * 2))
+
+
+@functools.lru_cache(maxsize=32)
+def _build_core(N: int, P: int, KMAX: int, n_sq: int):
+    """Jitted NME-SC core for bucketed shapes.
+
+    N: padded point count; P: padded sweep length; KMAX: static center
+    slots (≥ every runtime kmax); n_sq: reachability squaring count.
+    """
+    HI = jax.lax.Precision.HIGHEST
+
+    def _laplacian(a, valid):
+        # a: pruned symmetric affinity with zero diagonal / zero pad rows.
+        dinv = 1.0 / jnp.sqrt(jnp.maximum(jnp.sum(a, axis=1), 1e-9))
+        na = dinv[:, None] * a * dinv[None, :]
+        lap = jnp.eye(N, dtype=jnp.float32) - na  # diag(na)=0 by construction
+        # pad nodes: eigenvalue 3.0, above the [0, 2] spectrum of the
+        # real block, so sorted-ascending order keeps real values first
+        pad_diag = jnp.eye(N, dtype=bool) & ~valid[:, None]
+        return jnp.where(pad_diag, 3.0, lap)
+
+    def _connected(a, valid):
+        # reachability from node 0 via ⌈log2 N⌉ squarings of (A | I);
+        # {0,1} float matmuls accumulate exactly (counts < 2^24)
+        adj = (a > 0.0) | (jnp.eye(N, dtype=bool) & valid[:, None])
+        m = adj.astype(jnp.float32)
+        for _ in range(n_sq):
+            m = (jnp.matmul(m, m) > 0.0).astype(jnp.float32)
+        return jnp.all(jnp.where(valid, m[0] > 0.0, True))
+
+    def _eigengap(ev, kmax):
+        # ev ascending; host: argmax of ev[i]-ev[i-1] for i in 1..kmax,
+        # first-max tie-break, k floor 1, gap floor 0
+        idx = jnp.arange(1, KMAX + 1)
+        gaps = ev[idx] - ev[idx - 1]
+        gaps = jnp.where(idx <= kmax, gaps, -jnp.inf)
+        bi = jnp.argmax(gaps)
+        return jnp.maximum(idx[bi], 1), jnp.maximum(gaps[bi], 0.0)
+
+    def _kmeans(points, k, valid):
+        # deterministic farthest-point seeding + 50 Lloyd iterations
+        # (host kmeans semantics; inactive centers masked to +inf)
+        slots = jnp.arange(KMAX)
+
+        centers0 = jnp.zeros((KMAX, KMAX), jnp.float32).at[0].set(points[0])
+
+        def seed(c, centers):
+            d = jnp.sum((points[:, None, :] - centers[None]) ** 2, axis=-1)
+            dmin = jnp.min(jnp.where((slots < c)[None, :], d, jnp.inf), axis=1)
+            nxt = jnp.argmax(jnp.where(valid, dmin, -1.0))
+            new = jnp.where(c < k, points[nxt], centers[c])
+            return centers.at[c].set(new)
+
+        centers = lax.fori_loop(1, KMAX, seed, centers0)
+
+        def lloyd(_, carry):
+            centers, _labels = carry
+            d = jnp.sum((points[:, None, :] - centers[None]) ** 2, axis=-1)
+            d = jnp.where((slots < k)[None, :], d, jnp.inf)
+            labels = jnp.argmin(d, axis=1)
+            onehot = ((labels[:, None] == slots[None, :]) & valid[:, None])
+            cnt = jnp.sum(onehot, axis=0).astype(jnp.float32)
+            sums = jnp.matmul(onehot.T.astype(jnp.float32), points,
+                              precision=HI)
+            centers = jnp.where(cnt[:, None] > 0,
+                                sums / jnp.maximum(cnt, 1.0)[:, None], centers)
+            return centers, labels
+
+        _, labels = lax.fori_loop(
+            0, 50, lloyd, (centers, jnp.zeros(N, jnp.int32)))
+        return labels
+
+    @jax.jit
+    def core(emb, n, kmax):
+        ii = jnp.arange(N)
+        valid = ii < n
+        vmat = valid[:, None] & valid[None, :]
+
+        norms = jnp.sqrt(jnp.sum(emb * emb, axis=1))
+        normed = emb / jnp.maximum(norms, 1e-12)[:, None]
+        aff = jnp.clip(jnp.matmul(normed, normed.T, precision=HI), 0.0, 1.0)
+        keepable = (vmat & (norms > 0)[:, None] & (norms > 0)[None, :]
+                    & (ii[:, None] != ii[None, :]))
+        aff = jnp.where(keepable, aff, 0.0)
+
+        # per-row descending stable rank (ties keep ascending index, the
+        # host's stable sort); self/invalid keyed below every real value
+        sort_key = jnp.where(keepable, aff, -1.0)
+        order = jnp.argsort(-sort_key, axis=1, stable=True)
+        rank = jnp.argsort(order, axis=1)  # rank of each column in its row
+        keep_cap = n - 1
+
+        def pruned(p):
+            keep = jnp.minimum(p, keep_cap)
+            a = jnp.where(rank < keep, aff, 0.0)
+            return jnp.maximum(a, a.T)  # symmetrize by max
+
+        def sweep(p):
+            a = pruned(p)
+            ev = jnp.linalg.eigvalsh(_laplacian(a, valid))
+            k, gap = _eigengap(ev, kmax)
+            ratio = (p.astype(jnp.float32) / n.astype(jnp.float32)) \
+                / jnp.maximum(gap, 1e-6)
+            return ratio, k, _connected(a, valid)
+
+        ps = jnp.arange(1, P + 1)
+        ratios, ks, conns = lax.map(sweep, ps, batch_size=_SWEEP_BATCH)
+
+        # dynamic sweep bound for the real n
+        p_max = jnp.minimum(
+            n - 1, jnp.maximum(jnp.sqrt(n.astype(jnp.float32)).astype(jnp.int32),
+                               2) * 2)
+        p_ok = ps <= p_max
+        # prefer connected graphs (host robustness rule); fall back to the
+        # raw criterion when no p yields a connected graph
+        any_conn = jnp.any(conns & p_ok)
+        inf = jnp.float32(np.inf)
+        r_final = jnp.where(any_conn,
+                            jnp.where(p_ok & conns, ratios, inf),
+                            jnp.where(p_ok, ratios, inf))
+        pi = jnp.argmin(r_final)  # first min, like the host's strict '<'
+        k = jnp.clip(ks[pi], 1, kmax)
+
+        # spectral embedding at p*
+        _evals, evecs = jnp.linalg.eigh(_laplacian(pruned(ps[pi]), valid))
+        spec = evecs[:, :KMAX] * (jnp.arange(KMAX) < k)[None, :]
+        rn = jnp.sqrt(jnp.sum(spec * spec, axis=1, keepdims=True))
+        spec = jnp.where(rn > 1e-9, spec / jnp.maximum(rn, 1e-9), spec)
+
+        labels = _kmeans(spec, k, valid)
+
+        # separation validation: collapse to one speaker when the found
+        # clusters aren't separated in affinity space (host: 0.9 factor)
+        same = labels[:, None] == labels[None, :]
+        triu = (ii[:, None] < ii[None, :]) & vmat
+        w_sum = jnp.sum(jnp.where(same & triu, aff, 0.0))
+        b_sum = jnp.sum(jnp.where(~same & triu, aff, 0.0))
+        nw = jnp.sum((same & triu).astype(jnp.float32))
+        nb = jnp.sum((~same & triu).astype(jnp.float32))
+        sep_bad = ((nw > 0) & (nb > 0)
+                   & (b_sum / jnp.maximum(nb, 1.0)
+                      > 0.9 * (w_sum / jnp.maximum(nw, 1.0))))
+        return jnp.where(sep_bad | (k <= 1), 0, labels)
+
+    return core
+
+
+def nme_sc_device(embeddings: np.ndarray, max_speakers: int) -> np.ndarray:
+    """Drop-in device replacement for `diarization.nme_sc` (n > 2)."""
+    emb = np.asarray(embeddings, np.float32)
+    n, d = emb.shape
+    if n == 0:
+        return np.zeros(0, np.int64)
+    if n <= 2:
+        return np.zeros(n, np.int64)
+    kmax = max(1, min(max_speakers, n - 1))
+
+    N = _bucket(n)
+    Dp = -(-d // 64) * 64  # pad features to a lane multiple
+    P = _p_cap(N)
+    KMAX = int(min(max(kmax, 1), N - 1))
+    n_sq = int(np.ceil(np.log2(max(N, 2))))
+
+    emb_pad = np.zeros((N, Dp), np.float32)
+    emb_pad[:n, :d] = emb
+    core = _build_core(N, P, KMAX, n_sq)
+    labels = core(jnp.asarray(emb_pad), jnp.int32(n), jnp.int32(kmax))
+    return np.asarray(labels)[:n].astype(np.int64)

@@ -48,7 +48,8 @@ def validate_model(model_id: str, model_manager, mesh=None,
     chunk = np.zeros(30 * 16000, np.float32)
     chunk[: len(audio)] = audio
     text = engine.transcribe_batch(chunk[None, :], language=language)[0]
-    words = engine.transcribe_batch_with_timestamps(chunk[None, :], [0.0])[0]
+    words = engine.transcribe_batch_with_timestamps(
+        chunk[None, :], [0.0], language=language)[0]
     path = model_manager.model_path(model_id)
     return {
         "model_id": model_id,
