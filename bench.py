@@ -17,6 +17,9 @@ carries the remaining BASELINE configs measured in the same run:
     denoise block vs the 10 ms budget (audio.rs:260-268).
   * concurrent_denoise_asr_rtf — config 5: denoise @48 kHz + ASR on the
     same audio, minutes-long input.
+  * diarization_x_realtime — subsystem D end-to-end: a synthetic
+    multi-speaker hour through VAD segmentation, chunking, embeddings,
+    device NME-SC clustering, and chronological merge.
   * denoise_mesh_x — pre-wired multi-chip denoise (recorded automatically
     when >1 device is visible; absent on one chip).
 
@@ -264,6 +267,43 @@ def bench_denoise_mesh(per_device_streams=128, F=100, inner=20):
     return (S * F * 480 / 48000) / dt
 
 
+def bench_diarization(minutes=60):
+    """Subsystem D end-to-end: a synthetic multi-speaker hour (alternating
+    AM tones with pauses) through the FULL diarization pipeline — powerset
+    VAD segmentation (D1), ≤4 s chunking, embeddings (D2), device NME-SC
+    clustering (D3: batched eigvalsh p-sweep on chip), chronological merge
+    (D4). Bout durations come from a small fixed set so embedding-shape
+    compiles are bounded (the embedding path buckets by exact length).
+    Reference: the serial per-window/per-chunk ORT + host nalgebra
+    eigendecomposition loop (managers/diarization.rs:77-611)."""
+    import numpy as np
+
+    from crispy_tpu.engine import diarization as dz
+
+    sr = 16000
+    target = minutes * 60 * sr
+    durs = [2.0, 3.0, 4.0, 6.0, 8.0]
+    freqs = [150.0, 450.0, 1200.0]  # 3 "speakers" by spectral envelope
+    pieces, total, i = [], 0, 0
+    gap = np.zeros(int(0.8 * sr), np.float32)
+    while total < target:
+        d = durs[i % len(durs)]
+        f = freqs[i % len(freqs)]
+        t = np.arange(int(d * sr)) / sr
+        am = 1.0 + 0.3 * np.sin(2 * np.pi * (2 + (i % 3)) * t)
+        pieces += [(0.4 * np.sin(2 * np.pi * f * t) * am).astype(np.float32), gap]
+        total += t.size + gap.size
+        i += 1
+    audio = np.concatenate(pieces)[:target]
+    box = [None]
+
+    def step():
+        box[0] = dz.diarize(audio, max_speakers=8, merge_gap=1.0)
+
+    dt = _timeit(step, lambda: len(box[0]), reps=2, inner=1)
+    return (minutes * 60) / dt
+
+
 def bench_concurrent(minutes=4):
     """Config 5: denoise @48 kHz + whisper-tiny ASR on the same audio."""
     import jax.numpy as jnp
@@ -309,6 +349,7 @@ def main():
         ("resample_mix_tpu_x", bench_resample_mix_tpu),
         ("monitoring_frame_ms", bench_monitoring_frame),
         ("concurrent_denoise_asr_rtf", bench_concurrent),
+        ("diarization_x_realtime", bench_diarization),
         ("denoise_mesh_x", bench_denoise_mesh),
     ):
         try:

@@ -280,6 +280,11 @@ class CrispyApp:
         settings_mod.update_app_setting(key, value, self._data_root)
 
     def set_autostart(self, enabled: bool) -> None:
+        # Reference persists the flag THEN applies it via the autostart
+        # plugin (commands/settings.rs:16-29); the app-held bool is the
+        # server analog of the plugin side.
+        settings_mod.update_app_setting(
+            "autostart_enabled", "true" if enabled else "false", self._data_root)
         self._autostart = bool(enabled)
 
     # -- convert ----------------------------------------------------------------

@@ -48,7 +48,7 @@ COMMANDS = [
     "cancel_transcription", "stream_transcription_chat",
     "get_transcription_chat_history", "set_transcription_chat_history",
     "get_llm_settings", "set_llm_settings", "get_app_settings",
-    "set_app_setting", "convert_to_wav", "check_ffmpeg",
+    "set_app_setting", "set_autostart", "convert_to_wav", "check_ffmpeg",
     "check_permissions", "request_permission",
 ]
 

@@ -313,7 +313,10 @@ def main(argv=None) -> int:
     bch.add_argument("--streams", type=int, default=128)
     bch.set_defaults(fn=_cmd_bench)
 
-    s = sub.add_parser("serve", help="range-capable HTTP server over recordings")
+    s = sub.add_parser(
+        "serve",
+        help="launch the web UI (monitoring, recordings, models, "
+             "transcription, diarization, chat) over /api + SSE /events")
     s.add_argument("--port", type=int, default=0)
     s.set_defaults(fn=_cmd_serve)
 

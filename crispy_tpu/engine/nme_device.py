@@ -40,10 +40,14 @@ _SWEEP_BATCH = 8  # p-chunk for lax.map: bounds the [batch, N, N] working set
 
 
 def _bucket(n: int, lo: int = 8) -> int:
+    """Power-of-two up to 256, then multiples of 256: eigh is O(N³), so
+    coarse pow2 buckets would waste up to ~8× flops at hour-scale n."""
     b = lo
-    while b < n:
+    while b < n and b < 256:
         b *= 2
-    return b
+    if b >= n:
+        return b
+    return -(-n // 256) * 256
 
 
 def _p_cap(n: int) -> int:

@@ -227,3 +227,12 @@ class TestConvert:
     def test_permissions_always_granted(self, app):
         assert app.check_permissions()["microphone"] == "granted"
         assert app.request_permission("microphone") == "granted"
+
+
+def test_set_autostart_persists_setting(app):
+    """Reference parity: set_autostart writes autostart_enabled to app
+    settings before applying it (commands/settings.rs:16-29)."""
+    app.set_autostart(True)
+    assert app.get_app_settings()["autostart_enabled"] == "true"
+    app.set_autostart(False)
+    assert app.get_app_settings()["autostart_enabled"] == "false"

@@ -174,3 +174,21 @@ def test_ui_page_contract_matches_server():
     assert '"level"' in page or "p.level" in page or ".level" in page
     assert "p.downloaded" in page and "p.percent" in page
     assert "p.recording_path" in page and "p.progress" in page
+
+
+def test_ui_surfaces_device_autostart_permissions():
+    """F11/F4 parity scraps (VERDICT r3 missing #2-3): the page must
+    surface the output-device selector (MicrophoneVolume.tsx passes
+    outputDeviceName), the autostart toggle (commands/settings.rs:16-29),
+    and the permissions card (src/App.tsx onboarding gate)."""
+    from crispy_tpu.api.web_server import WEBUI_DIR
+
+    page = (WEBUI_DIR / "index.html").read_text(encoding="utf-8")
+    assert 'id="out-device"' in page
+    assert "output_device_name" in page          # reaches start_monitoring
+    assert 'api("get_output_devices")' in page   # populated from the API
+    assert 'id="autostart"' in page
+    assert 'api("set_autostart"' in page
+    assert "autostart_enabled" in page           # restored from settings
+    assert 'api("check_permissions")' in page
+    assert 'api("request_permission"' in page
