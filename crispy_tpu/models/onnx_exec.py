@@ -259,10 +259,9 @@ class OnnxRunner:
         (lets callers fall back at load time, not mid-inference)."""
         def collect(nodes):
             for n in nodes:
-                if n.op_type == "If":
-                    for key in ("then_branch", "else_branch"):
-                        sub = n.attrs.get(key)
-                        if sub is not None:
+                if n.op_type in SUBGRAPH_OPS:
+                    for sub in n.attrs.values():
+                        if isinstance(sub, OnnxGraph):
                             yield from collect(sub.nodes)
                     continue
                 yield n.op_type
@@ -300,6 +299,12 @@ class OnnxRunner:
                 for name, out_name in zip(node.outputs, sub.outputs):
                     vals[name] = inner[out_name]
                 continue
+            if node.op_type == "Loop":
+                self._run_loop(node, vals)
+                continue
+            if node.op_type == "Scan":
+                self._run_scan(node, vals)
+                continue
             handler = _OPS.get(node.op_type)
             if handler is None:
                 raise NotImplementedError(f"ONNX op {node.op_type} (node {node.name!r})")
@@ -321,8 +326,167 @@ class OnnxRunner:
                     o = np.asarray(o)
                 vals[name] = o
 
+    # -- subgraph control flow (Loop / Scan) --------------------------------
+
+    def _body_runner(self, body: "OnnxGraph", outer_vals: Dict[str, Any]):
+        """One body invocation: names→values in, ordered outputs out.
+        Outer-scope captures stay visible (ONNX subgraph scoping)."""
+        names = [n for n, _, _ in body.inputs]
+
+        def run(bound: Dict[str, Any]):
+            inner = dict(outer_vals)
+            inner.update(body.initializers)
+            inner.update(bound)
+            self._run_nodes(body.nodes, inner)
+            return [inner[o] for o in body.outputs]
+
+        return names, run
+
+    def _run_loop(self, node: "OnnxNode", vals: Dict[str, Any]) -> None:
+        """ONNX Loop. Two execution strategies, in order:
+
+        1. Host unroll — trip count static, condition stays static each
+           iteration (shape-growing carries and scan outputs allowed; the
+           trace simply unrolls, which is XLA-correct for static trips).
+        2. `lax.while_loop` — the condition is data-dependent (traced):
+           carried shapes must be fixed and scan outputs are rejected
+           loudly (XLA cannot return a data-dependent-length stack).
+
+        A dynamic (traced) max trip count is rejected up front.
+        """
+        body: OnnxGraph = node.attrs["body"]
+        m_v = vals[node.inputs[0]] if node.inputs[0] else None
+        cond0 = vals[node.inputs[1]] if len(node.inputs) > 1 and node.inputs[1] else None
+        carried = [vals[i] for i in node.inputs[2:]]
+        n_car = len(carried)
+        n_scan = len(body.outputs) - 1 - n_car
+        if n_scan < 0:
+            raise NotImplementedError("Loop body outputs fewer than carried inputs")
+        M = None if m_v is None else int(_static(m_v, "Loop trip count").item())
+        names, run = self._body_runner(body, vals)
+
+        # strategy 1: host unroll with static per-iteration condition
+        def unroll():
+            cond = True if cond0 is None else bool(_static(cond0, "Loop cond").item())
+            cur = list(carried)
+            scans: List[List[Any]] = [[] for _ in range(n_scan)]
+            i = 0
+            limit = M if M is not None else 10_000  # runaway guard
+            while cond and i < limit:
+                bound = {names[0]: np.int64(i)}
+                if len(names) > 1:
+                    bound[names[1]] = np.asarray(cond)
+                for nm, v in zip(names[2:], cur):
+                    bound[nm] = v
+                outs = run(bound)
+                if not _is_static(outs[0]):
+                    raise _TracedCond()
+                cond = bool(np.asarray(outs[0]).item())
+                cur = outs[1:1 + n_car]
+                for k in range(n_scan):
+                    scans[k].append(outs[1 + n_car + k])
+                i += 1
+            if M is None and i >= limit and cond:
+                raise NotImplementedError(f"Loop exceeded {limit} iterations")
+            jnp = _jnp()
+            stacked = []
+            for k in range(n_scan):
+                if not scans[k]:
+                    raise NotImplementedError(
+                        "Loop executed zero iterations with scan outputs "
+                        "(result shape would be data-dependent)")
+                parts = scans[k]
+                stack = np.stack if all(_is_static(p) for p in parts) else jnp.stack
+                stacked.append(stack(parts))
+            return cur + stacked
+
+        class _TracedCond(Exception):
+            pass
+
+        try:
+            outs = unroll()
+        except _TracedCond:
+            if M is None:
+                raise NotImplementedError(
+                    "Loop with traced condition and no max trip count")
+            if n_scan:
+                raise NotImplementedError(
+                    "Loop with traced condition and scan outputs "
+                    "(data-dependent result length)")
+            import jax.numpy as jnp
+            from jax import lax
+
+            cond_init = (jnp.asarray(True) if cond0 is None
+                         else jnp.asarray(cond0).reshape(()))
+            # default int (int32 without x64): the ONNX int64 iter counter
+            # is only compared/incremented, so width does not matter here
+            init = (jnp.asarray(0), cond_init.astype(bool),
+                    *(jnp.asarray(c) for c in carried))
+
+            def cond_fn(st):
+                return (st[0] < M) & st[1]
+
+            def body_fn(st):
+                i, c = st[0], st[1]
+                bound = {names[0]: i}
+                if len(names) > 1:
+                    bound[names[1]] = c
+                for nm, v in zip(names[2:], st[2:]):
+                    bound[nm] = v
+                outs = run(bound)
+                return (i + 1, jnp.asarray(outs[0]).reshape(()).astype(bool),
+                        *(jnp.asarray(o) for o in outs[1:1 + n_car]))
+
+            st = lax.while_loop(cond_fn, body_fn, init)
+            outs = list(st[2:])
+        for name, o in zip(node.outputs, outs):
+            if name:
+                vals[name] = o
+
+    def _run_scan(self, node: "OnnxNode", vals: Dict[str, Any]) -> None:
+        """ONNX Scan as `lax.scan`: fixed-shape per-iteration slices along
+        axis 0 (the default; nonzero input/output axes are moveaxis'd,
+        reverse directions flipped). The scan length is static by
+        construction — it is the scanned input's leading dim."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        body: OnnxGraph = node.attrs["body"]
+        n_scan_in = int(node.attrs["num_scan_inputs"])
+        n_states = len(node.inputs) - n_scan_in
+        states = [jnp.asarray(vals[i]) for i in node.inputs[:n_states]]
+        xs = [jnp.asarray(vals[i]) for i in node.inputs[n_states:]]
+        in_axes = node.attrs.get("scan_input_axes") or [0] * n_scan_in
+        in_dirs = node.attrs.get("scan_input_directions") or [0] * n_scan_in
+        xs = [jnp.moveaxis(x, int(ax), 0) if int(ax) else x
+              for x, ax in zip(xs, in_axes)]
+        xs = [jnp.flip(x, axis=0) if int(d) else x for x, d in zip(xs, in_dirs)]
+        n_out = len(body.outputs)
+        n_scan_out = n_out - n_states
+        out_axes = node.attrs.get("scan_output_axes") or [0] * n_scan_out
+        out_dirs = node.attrs.get("scan_output_directions") or [0] * n_scan_out
+        names, run = self._body_runner(body, vals)
+
+        def f(carry, x):
+            bound = dict(zip(names, list(carry) + list(x)))
+            outs = run(bound)
+            return (tuple(jnp.asarray(o) for o in outs[:n_states]),
+                    tuple(jnp.asarray(o) for o in outs[n_states:]))
+
+        carry, ys = lax.scan(f, tuple(states), tuple(xs))
+        ys = [jnp.flip(y, axis=0) if int(d) else y for y, d in zip(ys, out_dirs)]
+        ys = [jnp.moveaxis(y, 0, int(ax)) if int(ax) else y
+              for y, ax in zip(ys, out_axes)]
+        for name, o in zip(node.outputs, list(carry) + list(ys)):
+            if name:
+                vals[name] = o
+
 
 # -- op handlers -------------------------------------------------------------
+
+# Interpreter-handled control flow (subgraph bodies execute via _run_nodes,
+# not a flat handler): If (static condition), Loop, Scan.
+SUBGRAPH_OPS = {"If", "Loop", "Scan"}
 
 _OPS: Dict[str, Callable] = {}
 
@@ -1050,6 +1214,8 @@ def _reduce(node, x, axes, fn):
         if node.attrs.get("noop_with_empty_axes", 0):
             return xx
         ax = None
+    elif isinstance(axes, (list, tuple)):  # attr form (opset < 13 / 18)
+        ax = tuple(int(v) % xx.ndim for v in axes)
     else:
         ax = tuple(int(v) % xx.ndim for v in np.asarray(_static(axes, "Reduce axes")).reshape(-1))
     return fn(xx, axis=ax, keepdims=keep)
@@ -1496,3 +1662,285 @@ def _gru(node, x, w, r, b=None, seq_lens=None, init_h=None):
         y = jnp.transpose(y, (2, 0, 1, 3))
         yh = jnp.swapaxes(yh, 0, 1)
     return y, yh
+
+
+# dynamic-shape / exporter-long-tail ops -------------------------------------
+# Semantics grounded in the torch exporter that produces them (installed
+# source): torch/onnx/_internal/torchscript_exporter/symbolic_helper.py
+# :1145-1156 maps F.interpolate → Resize(nearest: asymmetric+floor;
+# linear: half_pixel, or align_corners when requested); symbolic_opset11
+# maps index_put → ScatterND and masked selects → NonZero+GatherND.
+
+
+@op("NonZero")
+def _nonzero(node, x):
+    """Exact on static inputs ([rank, n] int64, row-major order like
+    np.nonzero). A traced input would need a data-dependent output shape,
+    which XLA cannot express — rejected loudly rather than padded
+    silently (the executor's static-If discipline)."""
+    arr = _static(x, "NonZero input (output shape is data-dependent)")
+    return np.stack(np.nonzero(arr)).astype(np.int64)
+
+
+def _resize_axis_linear(x, out_len, in_len, axis, mode):
+    """Separable 1-axis linear resize with host-computed index/weight
+    tables (exact per-spec coordinate transforms)."""
+    jnp = _jnp()
+    scale = in_len / out_len
+    i = np.arange(out_len, dtype=np.float64)
+    if mode == "align_corners":
+        src = i * ((in_len - 1) / max(out_len - 1, 1))
+    elif mode == "asymmetric":
+        src = i * scale
+    else:  # half_pixel / pytorch_half_pixel (identical for out_len > 1)
+        src = (i + 0.5) * scale - 0.5
+        if mode == "pytorch_half_pixel" and out_len <= 1:
+            src = np.zeros_like(src)
+    src = np.clip(src, 0.0, in_len - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_len - 1)
+    w = (src - lo).astype(np.float32)
+    xl = jnp.take(x, lo, axis=axis)
+    xh = jnp.take(x, hi, axis=axis)
+    shape = [1] * xl.ndim
+    shape[axis] = out_len
+    w = jnp.asarray(w).reshape(shape)
+    return xl * (1.0 - w) + xh * w
+
+
+def _resize_axis_nearest(x, out_len, in_len, axis, coord_mode, nearest_mode):
+    jnp = _jnp()
+    scale = in_len / out_len
+    i = np.arange(out_len, dtype=np.float64)
+    if coord_mode == "align_corners":
+        src = i * ((in_len - 1) / max(out_len - 1, 1))
+    elif coord_mode == "asymmetric":
+        src = i * scale
+    else:
+        src = (i + 0.5) * scale - 0.5
+    if nearest_mode == "floor":
+        idx = np.floor(src)
+    elif nearest_mode == "ceil":
+        idx = np.ceil(src)
+    elif nearest_mode == "round_prefer_ceil":
+        idx = np.floor(src + 0.5)
+    else:  # round_prefer_floor (default)
+        idx = np.ceil(src - 0.5)
+    idx = np.clip(idx, 0, in_len - 1).astype(np.int64)
+    return jnp.take(x, idx, axis=axis)
+
+
+@op("Resize")
+def _resize(node, x, roi=None, scales=None, sizes=None):
+    """ONNX Resize, the subset real exporters emit (torch: nearest with
+    asymmetric+floor, linear with half_pixel/align_corners —
+    symbolic_helper.py:1145-1156). Output dims must be static (scales or
+    sizes as initializers, which is how exporters emit them)."""
+    jnp = _jnp()
+    x = jnp.asarray(x)
+    in_shape = x.shape
+    if sizes is not None and np.size(sizes):
+        out_shape = [int(v) for v in _static(sizes, "Resize sizes").reshape(-1)]
+    elif scales is not None and np.size(scales):
+        sc = _static(scales, "Resize scales").reshape(-1).astype(np.float64)
+        out_shape = [int(np.floor(d * s)) for d, s in zip(in_shape, sc)]
+    else:
+        raise NotImplementedError("Resize without scales or sizes")
+    mode = node.attrs.get("mode", "nearest")
+    coord = node.attrs.get("coordinate_transformation_mode", "half_pixel")
+    nearest_mode = node.attrs.get("nearest_mode", "round_prefer_floor")
+    if coord not in ("half_pixel", "pytorch_half_pixel", "asymmetric",
+                     "align_corners"):
+        raise NotImplementedError(f"Resize coordinate mode {coord!r}")
+    if mode not in ("nearest", "linear", "cubic"):
+        raise NotImplementedError(f"Resize mode {mode!r}")
+    if mode == "cubic":
+        raise NotImplementedError("Resize mode 'cubic'")
+    for axis, (din, dout) in enumerate(zip(in_shape, out_shape)):
+        if din == dout:
+            continue
+        if mode == "nearest":
+            x = _resize_axis_nearest(x, dout, din, axis, coord, nearest_mode)
+        else:
+            x = _resize_axis_linear(x, dout, din, axis, coord)
+    return x
+
+
+@op("ScatterND")
+def _scatternd(node, data, indices, updates):
+    jnp = _jnp()
+    data = jnp.asarray(data)
+    idx = jnp.asarray(indices)
+    upd = jnp.asarray(updates)
+    reduction = node.attrs.get("reduction", "none")
+    target = data.at[tuple(jnp.moveaxis(idx, -1, 0))]
+    if reduction == "add":
+        return target.add(upd)
+    if reduction == "mul":
+        return target.multiply(upd)
+    if reduction in ("max", "min"):
+        return getattr(target, reduction)(upd)
+    return target.set(upd)
+
+
+@op("ScatterElements", "Scatter")
+def _scatter_elements(node, data, indices, updates):
+    jnp = _jnp()
+    data = jnp.asarray(data)
+    axis = int(node.attrs.get("axis", 0))
+    idx = jnp.asarray(indices)
+    idx = jnp.where(idx < 0, idx + data.shape[axis], idx)
+    upd = jnp.asarray(updates)
+    # build full index tuple: iota on every non-axis dim
+    mesh = [jnp.broadcast_to(
+        _jnp().arange(idx.shape[d]).reshape(
+            [-1 if k == d else 1 for k in range(idx.ndim)]), idx.shape)
+        for d in range(idx.ndim)]
+    mesh[axis] = idx
+    reduction = node.attrs.get("reduction", "none")
+    target = data.at[tuple(mesh)]
+    if reduction == "add":
+        return target.add(upd)
+    if reduction == "mul":
+        return target.multiply(upd)
+    return target.set(upd)
+
+
+@op("LpNormalization")
+def _lpnorm(node, x):
+    jnp = _jnp()
+    axis = int(node.attrs.get("axis", -1))
+    p = int(node.attrs.get("p", 2))
+    if p == 1:
+        n = jnp.sum(jnp.abs(x), axis=axis, keepdims=True)
+    else:
+        n = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    return x / jnp.maximum(n, 1e-12)
+
+
+@op("ReduceL1")
+def _rl1(node, x, axes=None):
+    jnp = _jnp()
+    return _reduce(node, jnp.abs(jnp.asarray(x)), axes, jnp.sum)
+
+
+@op("ReduceSumSquare")
+def _rss(node, x, axes=None):
+    jnp = _jnp()
+    return _reduce(node, jnp.square(jnp.asarray(x)), axes, jnp.sum)
+
+
+@op("ReduceLogSum")
+def _rls(node, x, axes=None):
+    jnp = _jnp()
+    return jnp.log(_reduce(node, x, axes, jnp.sum))
+
+
+@op("Softsign")
+def _softsign(node, x):
+    jnp = _jnp()
+    return x / (1.0 + jnp.abs(x))
+
+
+@op("Mish")
+def _mish(node, x):
+    jnp = _jnp()
+    x = jnp.asarray(x)
+    return x * jnp.tanh(jnp.logaddexp(x, 0.0))  # x * tanh(softplus(x))
+
+
+@op("Celu")
+def _celu(node, x):
+    jnp = _jnp()
+    a = float(node.attrs.get("alpha", 1.0))
+    x = jnp.asarray(x)
+    return jnp.maximum(x, 0.0) + jnp.minimum(0.0, a * (jnp.exp(x / a) - 1.0))
+
+
+@op("ThresholdedRelu")
+def _thresholded_relu(node, x):
+    jnp = _jnp()
+    a = float(node.attrs.get("alpha", 1.0))
+    x = jnp.asarray(x)
+    return jnp.where(x > a, x, 0.0)
+
+
+@op("Shrink")
+def _shrink(node, x):
+    jnp = _jnp()
+    lambd = float(node.attrs.get("lambd", 0.5))
+    bias = float(node.attrs.get("bias", 0.0))
+    x = jnp.asarray(x)
+    return jnp.where(x < -lambd, x + bias, jnp.where(x > lambd, x - bias, 0.0))
+
+
+@op("IsNaN")
+def _isnan(node, x):
+    return _jnp().isnan(x)
+
+
+@op("IsInf")
+def _isinf(node, x):
+    jnp = _jnp()
+    x = jnp.asarray(x)
+    pos = bool(node.attrs.get("detect_positive", 1))
+    neg = bool(node.attrs.get("detect_negative", 1))
+    out = jnp.zeros(x.shape, bool)
+    if pos:
+        out = out | (x == jnp.inf)
+    if neg:
+        out = out | (x == -jnp.inf)
+    return out
+
+
+@op("EyeLike")
+def _eyelike(node, x):
+    jnp = _jnp()
+    shape = jnp.asarray(x).shape
+    k = int(node.attrs.get("k", 0))
+    dt = node.attrs.get("dtype")
+    dtype = _NP_OF_ONNX[dt] if dt is not None else np.asarray(
+        x if _is_static(x) else np.float32()).dtype
+    return np.eye(shape[0], shape[1], k=k, dtype=dtype)
+
+
+@op("HardMax")
+def _hardmax(node, x):
+    jnp = _jnp()
+    x = jnp.asarray(x)
+    axis = int(node.attrs.get("axis", -1))
+    am = jnp.argmax(x, axis=axis, keepdims=True)
+    iota = jnp.arange(x.shape[axis]).reshape(
+        [-1 if d == axis % x.ndim else 1 for d in range(x.ndim)])
+    return (iota == am).astype(x.dtype)
+
+
+@op("Xor")
+def _xor(node, a, b):
+    return _jnp().logical_xor(a, b)
+
+
+@op("DepthToSpace")
+def _depth_to_space(node, x):
+    jnp = _jnp()
+    x = jnp.asarray(x)
+    b = int(node.attrs["blocksize"])
+    N, C, H, W = x.shape
+    if node.attrs.get("mode", "DCR") == "CRD":
+        y = x.reshape(N, C // (b * b), b, b, H, W)
+        y = jnp.transpose(y, (0, 1, 4, 2, 5, 3))
+    else:  # DCR
+        y = x.reshape(N, b, b, C // (b * b), H, W)
+        y = jnp.transpose(y, (0, 3, 4, 1, 5, 2))
+    return y.reshape(N, C // (b * b), H * b, W * b)
+
+
+@op("SpaceToDepth")
+def _space_to_depth(node, x):
+    jnp = _jnp()
+    x = jnp.asarray(x)
+    b = int(node.attrs["blocksize"])
+    N, C, H, W = x.shape
+    y = x.reshape(N, C, H // b, b, W // b, b)
+    y = jnp.transpose(y, (0, 3, 5, 1, 2, 4))
+    return y.reshape(N, C * b * b, H // b, W // b)

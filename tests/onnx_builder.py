@@ -60,9 +60,38 @@ def tensor_proto(name: str, arr: np.ndarray) -> bytes:
     return out
 
 
+class SubGraph:
+    """Marker wrapper so attr() emits a GraphProto payload (field 6)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+
+
+def graph_proto(
+    nodes: List[bytes],
+    inputs: List[Tuple[str, int, Sequence[Optional[int]]]],
+    outputs: List[Tuple[str, int, Sequence[Optional[int]]]],
+    initializers: Optional[Dict[str, np.ndarray]] = None,
+    name: bytes = b"subgraph",
+) -> SubGraph:
+    g = b""
+    for n in nodes:
+        g += _ld(1, n)
+    g += _ld(2, name)
+    for nm, arr in (initializers or {}).items():
+        g += _ld(5, tensor_proto(nm, arr))
+    for nm, et, sh in inputs:
+        g += _ld(11, value_info(nm, et, sh))
+    for nm, et, sh in outputs:
+        g += _ld(12, value_info(nm, et, sh))
+    return SubGraph(g)
+
+
 def attr(name: str, value: Any) -> bytes:
     out = _ld(1, name.encode())
-    if isinstance(value, bytes):
+    if isinstance(value, SubGraph):
+        out += _ld(6, value.data) + _vi(20, 5)
+    elif isinstance(value, bytes):
         out += _ld(4, value) + _vi(20, 3)
     elif isinstance(value, str):
         out += _ld(4, value.encode()) + _vi(20, 3)

@@ -125,13 +125,36 @@ FAMILY_OPS = {
         "Conv", "InstanceNormalization", "LeakyRelu", "MaxPool", "LSTM",
         "MatMul", "Add", "Transpose", "Reshape", "LogSoftmax", "Sigmoid",
     },
+    # Ops the torch exporter itself emits for constructs common in speech
+    # models — read from the INSTALLED exporter source (not memory), all
+    # under torch/onnx/_internal/torchscript_exporter/:
+    #   symbolic_opset10.py:471       F.interpolate            → Resize
+    #   symbolic_opset9.py:4943       torch.nonzero            → NonZero
+    #   symbolic_opset11.py:402,      Tensor.scatter_/index_put→ ScatterElements/
+    #     symbolic_opset16.py:104,179                            ScatterND (+reduction)
+    #   symbolic_opset13.py:213,692   dynamic split/unbind     → Loop
+    #   symbolic_opset13.py:746       attention masks (triu)   → EyeLike
+    #   symbolic_opset14.py:204       F.scaled_dot_product_attention NaN
+    #                                 guard                    → IsNaN + Where
+    #   symbolic_opset10.py:731       torch.isinf              → IsInf
+    #   symbolic_opset11.py:336       F.pixel_shuffle          → DepthToSpace(CRD)
+    #   symbolic_opset11.py:1245      F.normalize / lp_pool    → ReduceL1
+    #   symbolic_opset12.py:264       F.celu                   → Celu
+    #   symbolic_opset9.py:4245,4249  thresholded_relu/softsign→ ThresholdedRelu/Softsign
+    "torch_exporter_long_tail": {
+        "Resize", "NonZero", "ScatterElements", "ScatterND", "Loop",
+        "EyeLike", "IsNaN", "IsInf", "Where", "DepthToSpace", "ReduceL1",
+        "Celu", "ThresholdedRelu", "Softsign", "CumSum", "Trilu", "Xor",
+    },
 }
 
 
 def test_executor_covers_real_export_op_inventories():
     from crispy_tpu.models.onnx_exec import _OPS
 
-    supported = set(_OPS) | {"If"}  # static If handled by the interpreter
+    from crispy_tpu.models.onnx_exec import SUBGRAPH_OPS
+
+    supported = set(_OPS) | SUBGRAPH_OPS  # If/Loop/Scan: interpreter-handled
     for family, ops in FAMILY_OPS.items():
         missing = sorted(ops - supported)
         assert not missing, f"{family}: executor missing ops {missing}"
