@@ -258,9 +258,12 @@ def bench_denoise_mesh(per_device_streams=128, F=100, inner=20):
         sharding)
     carry = [jax.device_put(jp.init_state(S), sharding)]
     box = [None]
+    # shard_map step: Pallas kernels run on local shards (GSPMD cannot
+    # partition custom calls)
+    fn = jp.denoise_block_sharded(mesh, params, carry[0])
 
     def step():
-        carry[0], out, _ = jp._denoise_block_jit(params, carry[0], block)
+        carry[0], out, _ = fn(params, carry[0], block)
         box[0] = out
 
     dt = _timeit(step, lambda: float(box[0].sum()), reps=3, inner=inner)

@@ -32,6 +32,7 @@ f32; see oracle.biquad docstring).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -203,6 +204,26 @@ def make_params(model: Optional[RNNoiseModel] = None) -> Dict[str, jnp.ndarray]:
     t["half_window"] = C.half_window()
     t["band_e"] = C.band_energy_matrix().T  # [481, 22] for e @ W
     t["band_interp"] = C.band_interp_matrix().T  # [22, 481] for g @ W
+    # Fused-frontend tables (pallas_frontend): the padded [.., 1024]
+    # spectrum layout (re 0..480, im 512..992) keeps every slice
+    # 128-lane aligned; band/interp tables duplicated across both halves
+    # so banded sums and gain interpolation act directly on that layout.
+    from . import pallas_frontend as pf
+
+    t["dft_fwd_pad"] = pf.pad_dft_fwd(t["dft_fwd"])  # [960, 1024]
+    t["dft_fwd_a512"], t["dft_fwd_b512"] = pf.split_dft_fwd(t["dft_fwd_pad"])
+    t["band_e_pad"] = pf.pad_band_e(t["band_e"])  # [512, 22]
+    be1024 = np.zeros((1024, NB), np.float32)
+    be1024[:NFREQ] = t["band_e"]
+    be1024[512: 512 + NFREQ] = t["band_e"]
+    t["band_e_1024"] = be1024
+    bi1024 = np.zeros((NB, 1024), np.float32)
+    bi1024[:, :NFREQ] = t["band_interp"]
+    bi1024[:, 512: 512 + NFREQ] = t["band_interp"]
+    t["band_interp_1024"] = bi1024
+    inv_pad = pf.pad_dft_inv(t["dft_inv_re"], t["dft_inv_im"])  # [1024, 960]
+    t["dft_inv_a"] = inv_pad[:, :FRAME].copy()
+    t["dft_inv_b"] = inv_pad[:, FRAME:].copy()
     t["dct"] = C.dct_matrix().T  # [22, 22] for x @ D
     t["tansig_table"] = C.tansig_table()
     t["second_check"] = C.SECOND_CHECK.astype(np.int32)
@@ -578,6 +599,16 @@ def _use_matmul_dft() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _use_fused_spectra() -> bool:
+    """OPT-IN fused Pallas spectra kernels (pallas_frontend): ~+10%
+    denoise throughput, but Mosaic's single-pass f32 matmul relaxes
+    worst-sample oracle parity to ~1e-3 (the default XLA path holds the
+    north-star 1e-4; see the measured precision table in
+    pallas_frontend.py). Enable with CRISPY_FUSED_SPECTRA=on."""
+    return (_use_matmul_dft()
+            and os.environ.get("CRISPY_FUSED_SPECTRA", "off") == "on")
+
+
 def _spectrum(params, frames: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """frames [.., 960] → windowed DFT (re, im) [.., 481], RNNoise 1/N scaling."""
     if _use_matmul_dft():
@@ -742,13 +773,26 @@ def frontend_block(params, state, block: jnp.ndarray):
     state = dict(state)
     state["hp_tail"] = ext[:, -(HIST + 1):]
 
-    # Analysis spectra: window f covers ext[769 + f*480 : +960]. Each
-    # _spectrum call is ONE fused (re‖im) DFT matmul; concatenating awin
-    # and pwin into a single call was tried and lost — the [S, 2F, 960]
-    # copy it materializes costs more HBM than the saved dispatch.
-    awin = _windows(ext[:, 1 + HIST - FRAME:], FRAME, WIN, F)  # [S, F, 960]
-    Xr, Xi = _spectrum(params, awin)
-    Ex = _band_energy(params, Xr, Xi)
+    fused = _use_fused_spectra()
+    if fused:
+        # ONE kernel: windows formed in VMEM from the raw signal, DFT +
+        # band energies fused (pallas_frontend). Y/P carry the padded
+        # (re 0..480 ‖ im 512..992) layout end-to-end.
+        from . import pallas_frontend as pf
+
+        Y, Ex = pf.fwd_spectrum_bands(
+            ext[:, 1 + HIST - FRAME:], params["dft_fwd_a512"],
+            params["dft_fwd_b512"], params["band_e_pad"], F)
+        Xr, Xi = Y[..., :NFREQ], Y[..., 512: 512 + NFREQ]
+    else:
+        # Analysis spectra: window f covers ext[769 + f*480 : +960]. Each
+        # _spectrum call is ONE fused (re‖im) DFT matmul; concatenating awin
+        # and pwin into a single call was tried and lost — the [S, 2F, 960]
+        # copy it materializes costs more HBM than the saved dispatch.
+        Y = None
+        awin = _windows(ext[:, 1 + HIST - FRAME:], FRAME, WIN, F)  # [S, F, 960]
+        Xr, Xi = _spectrum(params, awin)
+        Ex = _band_energy(params, Xr, Xi)
 
     # Pitch.
     pitch_idx, lp, lg = _pitch_index(params, state, ext, F)
@@ -761,9 +805,19 @@ def frontend_block(params, state, block: jnp.ndarray):
 
     starts = 1 + jnp.arange(F, dtype=jnp.int32)[None, :] * FRAME + (PBUF - WIN) - pitch_idx
     pwin = pitch_window_gather(ext, starts)  # [S, F, 960]
-    Pr, Pi = _spectrum(params, pwin)
-    Ep = _band_energy(params, Pr, Pi)
-    Exp = _band_corr(params, Xr, Xi, Pr, Pi) / jnp.sqrt(0.001 + Ex * Ep)
+    if fused:
+        P, Ep = pf.win_spectrum_bands(pwin, params["dft_fwd_pad"],
+                                      params["band_e_pad"])
+        Pr, Pi = P[..., :NFREQ], P[..., 512: 512 + NFREQ]
+        # banded Xr*Pr + Xi*Pi directly on the padded layout (the table
+        # is duplicated across both halves; pad columns are zero)
+        Exp = jnp.einsum("sfq,qb->sfb", Y * P, params["band_e_1024"],
+                         precision=_HIGH) / jnp.sqrt(0.001 + Ex * Ep)
+    else:
+        P = None
+        Pr, Pi = _spectrum(params, pwin)
+        Ep = _band_energy(params, Pr, Pi)
+        Exp = _band_corr(params, Xr, Xi, Pr, Pi) / jnp.sqrt(0.001 + Ex * Ep)
 
     # Features.
     E = jnp.sum(Ex, axis=-1)
@@ -792,6 +846,8 @@ def frontend_block(params, state, block: jnp.ndarray):
     return state, {
         "Xr": Xr, "Xi": Xi, "Ex": Ex, "Pr": Pr, "Pi": Pi, "Ep": Ep,
         "Exp": Exp, "feats": feats, "silence": silence,
+        # padded-layout spectra (fused path only; None otherwise)
+        "Y": Y, "P": P,
     }
 
 
@@ -818,12 +874,37 @@ def denoise_block(params, state, block: jnp.ndarray):
     exp2 = Exp * Exp
     r = jnp.where(Exp > graw, 1.0, exp2 * (1.0 - g2) / (0.001 + g2 * (1.0 - exp2)))
     r = jnp.sqrt(jnp.clip(r, 0.0, 1.0)) * jnp.sqrt(Ex / (1e-8 + Ep))
+    keep = silence[..., None]
+    if fr["Y"] is not None:
+        # padded-layout mid-section: the same per-frequency gains apply to
+        # the re and im halves, so interp/band tables duplicated across
+        # both halves run the filter with NO repacking; synthesis is the
+        # fused inverse-DFT + overlap-add kernel.
+        from . import pallas_frontend as pf
+
+        Y, P = fr["Y"], fr["P"]
+        rf = jnp.einsum("...b,bq->...q", r, params["band_interp_1024"],
+                        precision=_HIGH)
+        Xp = Y + rf * P
+        newE = jnp.einsum("sfq,qb->sfb", Xp * Xp, params["band_e_1024"],
+                          precision=_HIGH)
+        norm = jnp.sqrt(Ex / (1e-8 + newE))
+        gain_all = (jnp.einsum("...b,bq->...q", norm,
+                               params["band_interp_1024"], precision=_HIGH)
+                    * jnp.einsum("...b,bq->...q", gsmooth,
+                                 params["band_interp_1024"], precision=_HIGH))
+        Xo = jnp.where(keep, Y, Xp * gain_all)
+        out, new_mem = pf.inv_spectrum_ola(
+            Xo, params["dft_inv_a"], params["dft_inv_b"], state["syn_mem"],
+            Xo.shape[1])
+        state["syn_mem"] = new_mem
+        return state, (out / 32768.0).reshape(S, L), vad
+
     rf = _interp_gain(params, r)
     Xpr, Xpi = Xr + rf * Pr, Xi + rf * Pi
     newE = _band_energy(params, Xpr, Xpi)
     norm = jnp.sqrt(Ex / (1e-8 + newE))
     gain_all = _interp_gain(params, norm) * _interp_gain(params, gsmooth)
-    keep = silence[..., None]
     Xor = jnp.where(keep, Xr, Xpr * gain_all)
     Xoi = jnp.where(keep, Xi, Xpi * gain_all)
 
@@ -836,6 +917,37 @@ def denoise_block(params, state, block: jnp.ndarray):
 
 
 _denoise_block_jit = jax.jit(denoise_block, donate_argnums=(1,))
+
+_sharded_steps: Dict[object, object] = {}
+
+
+def denoise_block_sharded(mesh, params, state):
+    """Jitted per-device SPMD block step: `shard_map` over the mesh's
+    'data' axis, so every op — including the Pallas kernels, which GSPMD
+    has no partitioning rules for and would otherwise replicate or
+    reject on real multichip — runs on its LOCAL stream shard with zero
+    collectives (the block step is embarrassingly stream-parallel).
+    Cached per mesh; the params/state arguments only provide pytree
+    structure for the specs."""
+    key = mesh
+    fn = _sharded_steps.get(key)
+    if fn is None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def dspec(x):
+            return P("data", *([None] * (x.ndim - 1)))
+
+        in_specs = (jax.tree.map(lambda x: P(), params),
+                    jax.tree.map(dspec, state), P("data", None))
+        out_specs = (jax.tree.map(dspec, state), P("data", None),
+                     P("data", None))
+        fn = jax.jit(
+            shard_map(denoise_block, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_rep=False),
+            donate_argnums=(1,))
+        _sharded_steps[key] = fn
+    return fn
 
 
 # ---------------------------------------------------------------------------
@@ -894,7 +1006,11 @@ def denoise_batch(
         if Sp != S:
             chunk = np.pad(chunk, ((0, Sp - S), (0, 0)))
         chunk = jnp.asarray(chunk) if shard is None else shard(jnp.asarray(chunk))
-        state, o, v = _denoise_block_jit(params, state, chunk)
+        if mesh is not None:
+            step = denoise_block_sharded(mesh, params, state)
+            state, o, v = step(params, state, chunk)
+        else:
+            state, o, v = _denoise_block_jit(params, state, chunk)
         out[:, done: done + todo] = np.asarray(o)[:S, :todo]
         if return_vad:
             vads.append(np.asarray(v)[:S, : todo // FRAME])
