@@ -68,8 +68,8 @@ def mel_filterbank(n_mels: int = 80, sr: int = SAMPLE_RATE, n_fft: int = N_FFT) 
 
 
 @functools.lru_cache(maxsize=4)
-def _tables(n_mels: int):
-    """Precomputed device tables: windowed DFT matrices + filterbank."""
+def _tables_np(n_mels: int):
+    """Precomputed host tables: windowed DFT matrices + filterbank."""
     window = np.hanning(N_FFT + 1)[:-1]  # periodic Hann
     n = np.arange(N_FFT, dtype=np.float64)[:, None]
     k = np.arange(N_FFT // 2 + 1, dtype=np.float64)[None, :]
@@ -77,11 +77,29 @@ def _tables(n_mels: int):
     fwd_re = (window[:, None] * np.cos(ang)).astype(np.float32)
     fwd_im = (-window[:, None] * np.sin(ang)).astype(np.float32)
     return (
-        jnp.asarray(fwd_re),
-        jnp.asarray(fwd_im),
-        jnp.asarray(mel_filterbank(n_mels).T),  # [201, n_mels]
-        jnp.asarray(window.astype(np.float32)),
+        fwd_re,
+        fwd_im,
+        mel_filterbank(n_mels).T.copy(),  # [201, n_mels]
+        window.astype(np.float32),
     )
+
+
+_DEVICE_TABLES: dict = {}
+
+
+def _tables(n_mels: int):
+    """Device copies of the tables, cached only outside traces.
+
+    Inside a jit trace `jnp.asarray` yields tracers; caching those leaks
+    them (UnexpectedTracerError on the next call). Tracing callers get the
+    numpy tables directly — they embed as compile-time constants — while
+    eager callers reuse one cached device copy (no per-call re-upload over
+    a tunneled device link)."""
+    if isinstance(jnp.zeros(()), jax.core.Tracer):
+        return _tables_np(n_mels)
+    if n_mels not in _DEVICE_TABLES:
+        _DEVICE_TABLES[n_mels] = tuple(jnp.asarray(t) for t in _tables_np(n_mels))
+    return _DEVICE_TABLES[n_mels]
 
 
 def log_mel_spectrogram(

@@ -294,18 +294,32 @@ def nme_sc_host(embeddings: np.ndarray, max_speakers: int) -> np.ndarray:
 def energy_vad_logits(windows: np.ndarray) -> np.ndarray:
     """Fallback segmentation net: frame-energy VAD shaped like the pyannote
     powerset output [W, N_SEG_FRAMES, 2] (class 0 = silence logit).
-    Vectorized over windows × frames via a cumulative-energy table."""
+
+    Frame energies come from non-overlapping FRAME_STEP-sample block sums:
+    each frame integrates [center-STEP, center+STEP), frames stride by STEP,
+    so frame_i = block_i + block_{i+1} exactly — no full-resolution
+    per-sample cumsum table (a [W, T] float64 cumsum is ~0.5 GB of
+    temporaries for an hour of audio and dominated the whole pipeline)."""
     windows = np.asarray(windows, np.float32)
     W, T = windows.shape
     centers = FRAME_START + FRAME_STEP * np.arange(N_SEG_FRAMES)
     half = FRAME_STEP
     lo = np.clip(centers - half, 0, T)
     hi = np.clip(centers + half, 0, T)
-    cs = np.concatenate(
-        [np.zeros((W, 1), np.float64), np.cumsum(windows.astype(np.float64) ** 2, axis=1)],
-        axis=1)  # [W, T+1]
-    sums = cs[:, hi] - cs[:, lo]  # [W, F]
     counts = np.maximum(hi - lo, 1)[None, :]
+
+    start = max(FRAME_START - half, 0)  # first block edge
+    n_blocks = N_SEG_FRAMES + 1
+    need = start + n_blocks * FRAME_STEP
+    blocks = np.empty((W, n_blocks), np.float64)
+    for w0 in range(0, W, 64):  # bound temporaries to ~40 MB per slab
+        slab = windows[w0:w0 + 64, :]
+        sq = slab.astype(np.float64) ** 2
+        if need > T:  # zero-pad ≡ the hi-clip (beyond-T contributes nothing)
+            sq = np.pad(sq, ((0, 0), (0, need - T)))
+        blocks[w0:w0 + 64] = sq[:, start:need].reshape(
+            slab.shape[0], n_blocks, FRAME_STEP).sum(axis=2)
+    sums = blocks[:, :-1] + blocks[:, 1:]  # [W, F]
     rms = np.sqrt(sums / counts + 1e-12)
     # logit margin ~ distance from a -40 dBFS gate
     margin = (8.0 * (np.log10(rms + 1e-12) + 3.0)).astype(np.float32)
@@ -350,27 +364,23 @@ def segment_speech(
                          np.cumsum(labels.astype(np.int32), axis=1)], axis=1)
     smoothed = ((cs[:, hi] - cs[:, lo]) > (hi - lo)[None, :] // 2).astype(np.uint8)
 
-    # Cross-window speech-run tracking (:189-211).
-    raw: List[Tuple[int, int]] = []
-    is_speech = False
-    run_start = 0
-    for w in range(W):
-        base = w * WINDOW_SAMPLES
-        for i in range(F):
-            sp = bool(smoothed[w, i])
-            if sp != is_speech:
-                sample_idx = base + FRAME_START + i * FRAME_STEP
-                if sp:
-                    run_start = 0 if sample_idx < 1600 else sample_idx  # 100 ms snap
-                else:
-                    s, t = min(run_start, n), min(sample_idx, n)
-                    if t > s:
-                        raw.append((s, t))
-                is_speech = sp
-    if is_speech:
-        s = min(run_start, n)
-        if n > s:
-            raw.append((s, n))
+    # Cross-window speech-run tracking (:189-211), vectorized: transitions
+    # of the flattened (window, frame) sequence found via diff against a
+    # prepended initial silence state; starts and ends then alternate.
+    flat = smoothed.reshape(-1)
+    edges = np.flatnonzero(np.diff(np.concatenate([[np.uint8(0)], flat])))
+    sidx = ((edges // F) * WINDOW_SAMPLES
+            + FRAME_START + (edges % F) * FRAME_STEP).astype(np.int64)
+    starts = sidx[0::2]
+    ends = sidx[1::2]
+    if starts.size > ends.size:  # trailing open run → terminate at n
+        ends = np.concatenate([ends, [np.int64(n)]])
+    starts = np.where(starts < 1600, 0, starts)  # 100 ms start snap
+    starts = np.minimum(starts, n)
+    ends = np.minimum(ends, n)
+    keep = ends > starts
+    raw: List[Tuple[int, int]] = [
+        (int(s), int(t)) for s, t in zip(starts[keep], ends[keep])]
 
     # Merge gaps ≤ merge_gap (:216-240).
     raw.sort()
@@ -397,14 +407,44 @@ def segment_speech(
 # Embeddings
 # ---------------------------------------------------------------------------
 
+_MELSTATS_JIT: List[Optional[Callable]] = [None]
+
+
+def _melstats_device(batch: np.ndarray):
+    """[b, T] audio → [b, 160] centered mel mean/std stats, fully on device.
+
+    Link-aware on both sides: the input crosses host→device as int16
+    (product audio is s16 WAV; re-quantizing float input loses <3e-5,
+    far below what separates speakers) and the mean/std reduction lives
+    device-side so only [b, 160] stats come back — round-tripping float32
+    audio plus the full [b, 80, T//160] mel tensor costs ~27 s/hour over
+    a tunneled device link vs ~6 s this way."""
+    if _MELSTATS_JIT[0] is None:
+        import jax
+        import jax.numpy as jnp
+
+        from ..dsp.mel import log_mel_spectrogram
+
+        @jax.jit
+        def stats(x_i16):
+            x = x_i16.astype(jnp.float32) / 32768.0
+            mel = log_mel_spectrogram(x)  # [b, 80, F]
+            v = jnp.concatenate([mel.mean(axis=2), mel.std(axis=2)], axis=1)
+            # center: the shared log-floor baseline otherwise dominates
+            # cosine similarity between segments
+            return v - v.mean(axis=1, keepdims=True)
+
+        _MELSTATS_JIT[0] = stats
+    q = np.clip(np.round(batch * 32768.0), -32768, 32767).astype(np.int16)
+    return _MELSTATS_JIT[0](q)
+
+
 def melstats_embedding(segments: List[np.ndarray]) -> np.ndarray:
     """Fallback speaker embedding: log-mel mean/std statistics per segment.
 
     Stand-in for the CAM++ network (same call shape); enough to separate
     synthetic speakers by spectral envelope.
     """
-    from ..dsp.mel import log_mel_spectrogram
-
     # bucket by length: each distinct segment length is one batched device
     # call instead of a per-segment loop (and one compilation per shape)
     buckets = {}
@@ -413,10 +453,7 @@ def melstats_embedding(segments: List[np.ndarray]) -> np.ndarray:
     out: List[Optional[np.ndarray]] = [None] * len(segments)
     for _n, idxs in buckets.items():
         batch = np.stack([np.asarray(segments[i], np.float32) for i in idxs])
-        mel = np.asarray(log_mel_spectrogram(batch))  # [b, 80, F]
-        v = np.concatenate([mel.mean(axis=2), mel.std(axis=2)], axis=1)
-        v = v - v.mean(axis=1, keepdims=True)  # center: the shared log-floor
-        # baseline otherwise dominates cosine similarity between segments
+        v = np.asarray(_melstats_device(batch))  # [b, 160]
         for j, i in enumerate(idxs):
             out[i] = v[j]
     return np.stack(out).astype(np.float32)

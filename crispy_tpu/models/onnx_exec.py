@@ -349,8 +349,12 @@ class OnnxRunner:
            iteration (shape-growing carries and scan outputs allowed; the
            trace simply unrolls, which is XLA-correct for static trips).
         2. `lax.while_loop` — the condition is data-dependent (traced):
-           carried shapes must be fixed and scan outputs are rejected
-           loudly (XLA cannot return a data-dependent-length stack).
+           carried shapes must be fixed. Scan outputs accumulate into
+           max-trip-preallocated [M, ...] buffers and are sliced to the
+           realized trip count after the loop — exact ONNX semantics at
+           the cost of one host sync, available whenever execution is
+           eager (concrete device arrays). Under jit the data-dependent
+           result length is impossible and is rejected loudly.
 
         A dynamic (traced) max trip count is rejected up front.
         """
@@ -409,36 +413,66 @@ class OnnxRunner:
             if M is None:
                 raise NotImplementedError(
                     "Loop with traced condition and no max trip count")
-            if n_scan:
-                raise NotImplementedError(
-                    "Loop with traced condition and scan outputs "
-                    "(data-dependent result length)")
+            import jax
             import jax.numpy as jnp
             from jax import lax
 
             cond_init = (jnp.asarray(True) if cond0 is None
                          else jnp.asarray(cond0).reshape(()))
+            carried_j = [jnp.asarray(c) for c in carried]
+
+            def bind(i, c, cs):
+                bound = {names[0]: i}
+                if len(names) > 1:
+                    bound[names[1]] = c
+                for nm, v in zip(names[2:], cs):
+                    bound[nm] = v
+                return bound
+
+            scan_specs: List[Tuple[Tuple[int, ...], Any]] = []
+            if n_scan:
+                # per-iteration scan slice shapes via an abstract probe —
+                # fixed across iterations because the carries are fixed
+                probe = jax.eval_shape(
+                    lambda i, c, *cs: tuple(run(bind(i, c, cs))),
+                    jax.ShapeDtypeStruct((), jnp.int32),
+                    jax.ShapeDtypeStruct((), jnp.bool_), *carried_j)
+                scan_specs = [(tuple(o.shape), o.dtype)
+                              for o in probe[1 + n_car:]]
+
             # default int (int32 without x64): the ONNX int64 iter counter
-            # is only compared/incremented, so width does not matter here
-            init = (jnp.asarray(0), cond_init.astype(bool),
-                    *(jnp.asarray(c) for c in carried))
+            # is only compared/incremented, so width does not matter here.
+            # Scan outputs accumulate into [M, ...] buffers written at the
+            # live iteration index; the actual trip count slices them after
+            # the loop (possible exactly when execution is eager).
+            init = (jnp.asarray(0), cond_init.astype(bool), *carried_j,
+                    *(jnp.zeros((M,) + s, d) for s, d in scan_specs))
 
             def cond_fn(st):
                 return (st[0] < M) & st[1]
 
             def body_fn(st):
                 i, c = st[0], st[1]
-                bound = {names[0]: i}
-                if len(names) > 1:
-                    bound[names[1]] = c
-                for nm, v in zip(names[2:], st[2:]):
-                    bound[nm] = v
-                outs = run(bound)
+                outs = run(bind(i, c, st[2:2 + n_car]))
+                scans = [
+                    lax.dynamic_update_index_in_dim(
+                        buf, jnp.asarray(outs[1 + n_car + k]).astype(buf.dtype),
+                        i, 0)
+                    for k, buf in enumerate(st[2 + n_car:])]
                 return (i + 1, jnp.asarray(outs[0]).reshape(()).astype(bool),
-                        *(jnp.asarray(o) for o in outs[1:1 + n_car]))
+                        *(jnp.asarray(o) for o in outs[1:1 + n_car]), *scans)
 
             st = lax.while_loop(cond_fn, body_fn, init)
-            outs = list(st[2:])
+            outs = list(st[2:2 + n_car])
+            if n_scan:
+                trips = st[0]
+                if isinstance(trips, jax.core.Tracer):
+                    raise NotImplementedError(
+                        "Loop with traced condition and scan outputs under "
+                        "jit (data-dependent result length); call the "
+                        "runner eagerly instead")
+                t = int(np.asarray(trips))
+                outs += [buf[:t] for buf in st[2 + n_car:]]
         for name, o in zip(node.outputs, outs):
             if name:
                 vals[name] = o

@@ -103,7 +103,7 @@ class TestLoop:
         out = np.asarray(fn(jnp.ones(2, jnp.float32), jnp.float32(3.0)))
         np.testing.assert_allclose(out, [4.0, 4.0])
 
-    def test_traced_cond_with_scan_outputs_rejected(self, tmp_path):
+    def _snap_loop(self, tmp_path):
         body = ob.graph_proto(
             [ob.node("Mul", ["acc_in", "two"], ["acc_out"]),
              ob.node("Gather", ["acc_out", "zero"], ["a0"], axis=0),
@@ -112,18 +112,36 @@ class TestLoop:
             [("iter", I64, []), ("cond_in", BOOL, []), ("acc_in", F32, [2])],
             [("cond_out", BOOL, []), ("acc_out", F32, [2]), ("snap", F32, [2])],
             {"two": np.full(2, 2.0, np.float32), "zero": np.int64(0)})
-        r = build(tmp_path, [
+        return build(tmp_path, [
             ob.node("Loop", ["M", "cond", "acc0"], ["acc_final", "snaps"],
                     body=body),
         ], [("acc0", F32, [2]), ("limit", F32, [])],
             [("acc_final", F32, [2]), ("snaps", F32, [None, 2])],
             {"M": np.int64(8), "cond": np.array(True)})
+
+    def test_traced_cond_with_scan_outputs_rejected_under_jit(self, tmp_path):
         import jax
         import jax.numpy as jnp
 
+        r = self._snap_loop(tmp_path)
         with pytest.raises(NotImplementedError, match="scan outputs"):
             jax.jit(lambda a, lim: r(acc0=a, limit=lim)["acc_final"])(
                 jnp.ones(2, jnp.float32), jnp.float32(10.0))
+
+    def test_traced_cond_with_scan_outputs_eager(self, tmp_path):
+        """Eager execution: the [M]-preallocated while_loop scan buffers are
+        sliced to the realized trip count — exact ONNX Loop semantics."""
+        import jax.numpy as jnp
+
+        r = self._snap_loop(tmp_path)
+        out = r(acc0=jnp.ones(2, jnp.float32), limit=jnp.float32(10.0))
+        np.testing.assert_allclose(np.asarray(out["acc_final"]), [16.0, 16.0])
+        np.testing.assert_allclose(  # snapshots AFTER each doubling: 2,4,8,16
+            np.asarray(out["snaps"]),
+            [[2.0, 2.0], [4.0, 4.0], [8.0, 8.0], [16.0, 16.0]])
+        # different limit → different realized length from the same runner
+        out = r(acc0=jnp.ones(2, jnp.float32), limit=jnp.float32(3.0))
+        assert np.asarray(out["snaps"]).shape == (2, 2)
 
     def test_validate_descends_loop_body(self, tmp_path):
         body = ob.graph_proto(
