@@ -27,7 +27,7 @@ from ..engine import monitoring as mon_mod
 from ..engine import recording as rec_mod
 from ..engine import transcription as tr_mod
 from ..models import registry as reg_mod
-from ..utils import paths, settings as settings_mod
+from ..utils import paths, settings as settings_mod, updater as updater_mod
 
 
 class CrispyApp:
@@ -154,6 +154,21 @@ class CrispyApp:
     def show_main_window_cmd(self) -> None:
         self._main_window_visible = True
         self.windows.show_main()
+
+    def get_window_state(self) -> Dict[str, bool]:
+        """Window-state snapshot for the web window router (the reference
+        reads this implicitly from the compositor; served pages ask)."""
+        return self.windows.snapshot()
+
+    def notify_tray_popup_shown(self) -> None:
+        """The /tray page loaded — the analog of the tray-click showing the
+        popup (main.rs:355-360); arms the 600 ms blur grace window."""
+        self.windows.show_tray_popup()
+
+    def notify_tray_popup_blurred(self) -> bool:
+        """Focus left the /tray page; honored only after the grace window
+        (window.rs blur handling). Returns whether the popup hid."""
+        return self.windows.tray_popup_blurred()
 
     def quit_app(self) -> None:
         self._quit_requested = True
@@ -286,6 +301,15 @@ class CrispyApp:
         settings_mod.update_app_setting(
             "autostart_enabled", "true" if enabled else "false", self._data_root)
         self._autostart = bool(enabled)
+
+    # -- updater (X9: tauri-plugin-updater analog) -------------------------------
+    def get_app_version(self) -> str:
+        return updater_mod.current_version()
+
+    def check_for_updates(self) -> Dict[str, str]:
+        """Package-index update check; "offline" on an egress-less host
+        (utils/updater.py; main.rs:221 wires the reference's plugin)."""
+        return updater_mod.check_for_updates()
 
     # -- convert ----------------------------------------------------------------
     def convert_to_wav(self, input_path: str) -> str:

@@ -4,10 +4,16 @@ The reference's UI is a Tauri webview (src/App.tsx, src/components/*)
 talking to the backend over `invoke` + `listen` + the stream:// asset
 protocol. Here the same three channels are HTTP on loopback:
 
-  GET  /                 the single-page UI (webui/index.html)
+  GET  /                 the main window (webui/index.html)
+  GET  /tray             the tray-popup window (webui/tray.html)
+  GET  /result?path=...  the transcription-result window (webui/result.html)
   POST /api/<command>    invoke: JSON body = kwargs, JSON reply
   GET  /events           listen: Server-Sent Events bridge of the bus
   GET  /stream?path=...  stream://: Range-capable WAV serving (206)
+
+The three GET pages are the window router (src/main.tsx:10-31 routes by
+Tauri window label → App / TrayPopupView / TranscriptionResultView; here
+the URL path is the label).
 
 `crispy serve` starts this; the command names are the reference's
 invoke_handler names (main.rs:372-425) as carried by CrispyApp.
@@ -50,6 +56,9 @@ COMMANDS = [
     "get_llm_settings", "set_llm_settings", "get_app_settings",
     "set_app_setting", "set_autostart", "convert_to_wav", "check_ffmpeg",
     "check_permissions", "request_permission",
+    "show_main_window_cmd", "open_transcription_window", "get_window_state",
+    "notify_tray_popup_shown", "notify_tray_popup_blurred",
+    "get_app_version", "check_for_updates",
 ]
 
 # Every event the backend emits (SURVEY §5 observability catalog).
@@ -115,6 +124,10 @@ class _Handler(BaseHTTPRequestHandler):
         route = parsed.path
         if route in ("/", "/index.html"):
             return self._static("index.html", "text/html; charset=utf-8")
+        if route == "/tray":
+            return self._static("tray.html", "text/html; charset=utf-8")
+        if route == "/result":
+            return self._static("result.html", "text/html; charset=utf-8")
         if route == "/events":
             return self._sse()
         if route == "/stream":

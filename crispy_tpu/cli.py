@@ -264,6 +264,15 @@ def _cmd_serve(args) -> int:
     return 0
 
 
+def _cmd_update(args) -> int:
+    """Updater analog (X9): report whether a newer release exists; the
+    upgrade itself stays a user action (the printed pip command)."""
+    from .utils import updater
+
+    print(json.dumps(updater.check_for_updates()))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="crispy", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -308,6 +317,10 @@ def main(argv=None) -> int:
     c = sub.add_parser("convert", help="any media file → 48 kHz WAV (ffmpeg)")
     c.add_argument("input", type=Path)
     c.set_defaults(fn=_cmd_convert)
+
+    upd = sub.add_parser(
+        "update", help="check the package index for a newer crispy-tpu release")
+    upd.set_defaults(fn=_cmd_update)
 
     bch = sub.add_parser("bench", help="denoise throughput on this accelerator")
     bch.add_argument("--streams", type=int, default=128)

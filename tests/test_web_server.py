@@ -192,3 +192,47 @@ def test_ui_surfaces_device_autostart_permissions():
     assert "autostart_enabled" in page           # restored from settings
     assert 'api("check_permissions")' in page
     assert 'api("request_permission"' in page
+
+
+def test_window_router_pages(served):
+    """F1 window-router parity (src/main.tsx:10-31 routes by window label;
+    here the URL path is the label): /tray and /result serve the tray-popup
+    and transcription-result windows."""
+    app, srv = served
+    with _get(srv, "/tray") as r:
+        tray = r.read().decode()
+    assert "start_recording" in tray and "notify_tray_popup_shown" in tray
+    with _get(srv, "/result?path=/tmp/x.wav") as r:
+        res = r.read().decode()
+    assert "get_transcription_result" in res
+    assert "stream_transcription_chat" in res
+    assert "Speaker" in res  # the [Speaker N|t] parser grammar
+
+
+def test_window_state_commands(served):
+    """Tray analog commands drive the X7 state machine: page load arms the
+    600 ms blur grace window (main.rs:355-368), blur within it is ignored."""
+    app, srv = served
+    _api(srv, "notify_tray_popup_shown")
+    assert _api(srv, "get_window_state")["tray_popup_visible"] is True
+    # immediate blur: inside the grace window -> ignored
+    assert _api(srv, "notify_tray_popup_blurred") is False
+    assert _api(srv, "get_window_state")["tray_popup_visible"] is True
+    app.windows._tray_shown_at -= 1.0  # age past the grace window
+    assert _api(srv, "notify_tray_popup_blurred") is True
+    assert _api(srv, "get_window_state")["tray_popup_visible"] is False
+
+
+def test_all_pages_contract_matches_server():
+    """The static drift check over every served page: commands called and
+    bus events listened to must exist in the whitelist/event catalog."""
+    import re
+
+    from crispy_tpu.api.web_server import SSE_EVENTS, WEBUI_DIR
+
+    for name in ("index.html", "tray.html", "result.html"):
+        page = (WEBUI_DIR / name).read_text(encoding="utf-8")
+        for cmd in set(re.findall(r'api\("([a-z_]+)"', page)):
+            assert cmd in COMMANDS, f"{name} calls unknown command {cmd}"
+        for ev in set(re.findall(r'es\.addEventListener\("([a-z-]+)"', page)):
+            assert ev in SSE_EVENTS, f"{name} listens to unbridged event {ev}"
