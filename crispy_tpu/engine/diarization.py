@@ -51,6 +51,7 @@ class VadSegment:
     start: float
     end: float
     samples: np.ndarray
+    offset: int = -1  # sample offset into the source audio (-1 = unknown)
 
 
 # ---------------------------------------------------------------------------
@@ -349,6 +350,15 @@ def segment_speech(
     windows = padded.reshape(-1, WINDOW_SAMPLES)
 
     logits = np.asarray(segmentation_fn(windows))  # [W, F, C]
+    merged = _runs_from_logits(logits, n, merge_gap)
+    return _segments_from_runs(merged, audio)
+
+
+def _runs_from_logits(
+    logits: np.ndarray, n: int, merge_gap: float
+) -> List[List[int]]:
+    """Powerset logits [W, F, C] → merged speech runs [[s, t], ...] in
+    samples (decode, median smoothing, run tracking, gap merging)."""
     # Powerset decode: p(silence) via softmax index 0 (diarization.rs:149-164).
     m = logits.max(axis=-1, keepdims=True)
     e = np.exp(logits - m)
@@ -391,15 +401,22 @@ def segment_speech(
             merged[-1][1] = max(merged[-1][1], t)
         else:
             merged.append([s, t])
+    return merged
 
+
+def _segments_from_runs(
+    merged: Sequence[Sequence[int]], audio: np.ndarray
+) -> List[VadSegment]:
+    """Merged sample runs → VadSegments: min-duration filter with the
+    keep-longest fallback (diarization.rs:227,243-252)."""
     min_dur = int(SAMPLE_RATE * MIN_SEGMENT_SECONDS)
     out = [
-        VadSegment(s / SAMPLE_RATE, t / SAMPLE_RATE, audio[s:t])
+        VadSegment(s / SAMPLE_RATE, t / SAMPLE_RATE, audio[s:t], offset=int(s))
         for s, t in merged if t - s >= min_dur
     ]
     if not out and merged:  # keep-longest fallback (:243-252)
         s, t = max(merged, key=lambda st: st[1] - st[0])
-        out = [VadSegment(s / SAMPLE_RATE, t / SAMPLE_RATE, audio[s:t])]
+        out = [VadSegment(s / SAMPLE_RATE, t / SAMPLE_RATE, audio[s:t], offset=int(s))]
     return out
 
 
@@ -473,10 +490,45 @@ def chunk_segments(segments: List[VadSegment]) -> List[VadSegment]:
                 out.append(VadSegment(
                     seg.start + s / SAMPLE_RATE, seg.start + t / SAMPLE_RATE,
                     seg.samples[s:t],
+                    offset=seg.offset + s if seg.offset >= 0 else -1,
                 ))
         else:
             out.append(seg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fused long-audio frontend (see engine/diar_device.py)
+# ---------------------------------------------------------------------------
+
+FUSED_MIN_SAMPLES = SAMPLE_RATE * 120  # below this, host latency wins
+
+
+def _diarize_fused_frontend(
+    audio: np.ndarray, merge_gap: float
+) -> Tuple[List[VadSegment], List[VadSegment], np.ndarray]:
+    """One-upload device frontend for the builtin stand-in nets: energy-VAD
+    margins and per-chunk mel statistics both computed from a single
+    device-resident int16 copy of the recording (diar_device module).
+    Decode/chunk semantics are the exact host helpers above."""
+    import jax
+
+    from . import diar_device as dd
+
+    n = audio.shape[0]
+    pad_to = dd.pad_length(n)
+    dev = jax.device_put(dd.quantize_i16(audio, pad_to))
+
+    margin = dd.segmentation_margins(dev, pad_to)  # [W, 589]
+    logits = np.stack([-margin, margin], axis=-1)
+    merged = _runs_from_logits(logits, n, merge_gap)
+    segments = _segments_from_runs(merged, audio)
+    if not segments:
+        return [], [], np.zeros((0, 160), np.float32)
+    chunks = chunk_segments(segments)
+    ranges = [(c.offset, c.offset + len(c.samples)) for c in chunks]
+    embeddings = dd.chunk_stats(dev, pad_to, ranges)
+    return segments, chunks, embeddings
 
 
 # ---------------------------------------------------------------------------
@@ -495,11 +547,32 @@ def diarize(
     if sample_rate != SAMPLE_RATE:
         raise ValueError("diarization requires 16 kHz mono")
     max_speakers = max(1, max_speakers)
-    segments = segment_speech(np.asarray(audio, np.float32), merge_gap, segmentation_fn)
-    if not segments:
-        return []
-    chunks = chunk_segments(segments)
-    embeddings = np.asarray(embedding_fn([c.samples for c in chunks]))
+    audio = np.asarray(audio, np.float32)
+
+    fused = None
+    if (
+        segmentation_fn is energy_vad_logits
+        and embedding_fn is melstats_embedding
+        and audio.shape[0] >= FUSED_MIN_SAMPLES
+        and os.environ.get("CRISPY_DIAR_FUSED", "on") != "off"
+    ):
+        try:
+            fused = _diarize_fused_frontend(audio, merge_gap)
+        except Exception as e:  # pragma: no cover - defensive fallback
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "fused diarization frontend failed (%s); using host path", e)
+    if fused is not None:
+        segments, chunks, embeddings = fused
+        if not segments:
+            return []
+    else:
+        segments = segment_speech(audio, merge_gap, segmentation_fn)
+        if not segments:
+            return []
+        chunks = chunk_segments(segments)
+        embeddings = np.asarray(embedding_fn([c.samples for c in chunks]))
     n = len(chunks)
     labels = np.zeros(n, np.int64) if n <= 2 else nme_sc(embeddings, max_speakers)
 

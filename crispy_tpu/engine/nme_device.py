@@ -36,7 +36,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_SWEEP_BATCH = 8  # p-chunk for lax.map: bounds the [batch, N, N] working set
+_SWEEP_BATCH = 16  # p-chunk for lax.map: bounds the [batch, N, N] working set
+# (measured on v5e at the 1024-bucket: bs=16 and full vmap both run the
+# 64-p sweep ~3x faster than bs=8 — 2.45 s vs 7.2 s warm; beyond 16 only
+# compile time grows)
 
 
 def _bucket(n: int, lo: int = 8) -> int:
