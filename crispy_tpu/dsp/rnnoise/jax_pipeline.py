@@ -45,6 +45,26 @@ from .weights import RNNoiseModel, builtin_model
 
 _HIGH = lax.Precision.HIGHEST  # output-affecting matmuls (1e-4 parity budget)
 
+
+def _pitch_prec() -> lax.Precision:
+    """Precision for the pitch-search correlation/energy matmuls.
+
+    These matmuls reach the output only through discrete selections (the
+    top-2 lag argmax, remove_doubling's candidate thresholds, next-frame
+    continuation gates), so one might hope 3-pass bf16x3 suffices — but
+    measured on hardware, its ~1e-6 relative error flips a near-tie lag
+    about once per 450 frame decisions on periodic speech (vs zero
+    observed flips at 6-pass), and a single flipped pitch lag moves the
+    denoised output by up to ~6e-2: far outside the 1e-4 parity budget.
+    Default therefore stays HIGHEST. `CRISPY_PITCH_PREC=high` is the
+    measured opt-in throughput mode (~1.3 ms off the S=128 block step,
+    ~+14%) for callers who accept occasional lag flips — the same
+    positioning as CRISPY_FUSED_SPECTRA.
+    """
+    if os.environ.get("CRISPY_PITCH_PREC", "").lower() == "high":
+        return lax.Precision.HIGH
+    return _HIGH
+
 FRAME = C.FRAME_SIZE  # 480
 WIN = C.WINDOW_SIZE  # 960
 NFREQ = C.FREQ_SIZE  # 481
@@ -407,17 +427,18 @@ def _hp_biquad(params, state, x: jnp.ndarray) -> Tuple[dict, jnp.ndarray]:
 def _cross_corr(params, x, y, tagx, tagy, tagc, nlags):
     """corr[.., i] = sum_j x[.., j] y[.., j+i] — matmul DFT on TPU, FFT off."""
     if _use_matmul_dft():
+        prec = _pitch_prec()
         kx = params[f"cf_{tagx}_re"].shape[1]
         ky = params[f"cf_{tagy}_re"].shape[1]
-        xri = jnp.einsum("...n,nk->...k", x, params[f"cf_{tagx}"], precision=_HIGH)
-        yri = jnp.einsum("...n,nk->...k", y, params[f"cf_{tagy}"], precision=_HIGH)
+        xri = jnp.einsum("...n,nk->...k", x, params[f"cf_{tagx}"], precision=prec)
+        yri = jnp.einsum("...n,nk->...k", y, params[f"cf_{tagy}"], precision=prec)
         xr, xi = xri[..., :kx], xri[..., kx:]
         yr, yi = yri[..., :ky], yri[..., ky:]
         cr = xr * yr + xi * yi  # conj(X) * Y
         ci = xr * yi - xi * yr
         full = (
-            jnp.einsum("...k,ki->...i", cr, params[f"ci_{tagc}_re"], precision=_HIGH)
-            + jnp.einsum("...k,ki->...i", ci, params[f"ci_{tagc}_im"], precision=_HIGH)
+            jnp.einsum("...k,ki->...i", cr, params[f"ci_{tagc}_re"], precision=prec)
+            + jnp.einsum("...k,ki->...i", ci, params[f"ci_{tagc}_im"], precision=prec)
         )
         return full[..., :nlags]
     nfft = 512 if tagc == "c4" else 1024
@@ -457,7 +478,9 @@ def _pitch_index(params, state, ext: jnp.ndarray, F: int):
     y4 = y4.at[:, :, 0].set(b0)  # y4[0] = bds[0] (per-frame edge fix)
     xc4 = _cross_corr(params, x4, y4, "x4", "y4", "c4", _COARSE_LAGS)
     syy4 = jnp.maximum(
-        1.0, 1.0 + jnp.einsum("...n,ni->...i", y4 * y4, params["esw_4"], precision=_HIGH)
+        1.0,
+        1.0 + jnp.einsum("...n,ni->...i", y4 * y4, params["esw_4"],
+                         precision=_pitch_prec()),
     )
     neg = jnp.float32(-1e30)
     ratio4 = jnp.where(xc4 > 0, (xc4 * xc4) / syy4, neg)
@@ -466,7 +489,8 @@ def _pitch_index(params, state, ext: jnp.ndarray, F: int):
     # --- fine stage + remove_doubling share one cross-correlation ----------
     x2 = bds[..., PMAX // 2:]  # [S, F, 480]
     cc = _cross_corr(params, x2, bds, "x2", "y2", "c2", _RD_MAXP + 1)  # [S,F,385]
-    energies = jnp.einsum("...n,ni->...i", bds * bds, params["esw_fine"], precision=_HIGH)
+    energies = jnp.einsum("...n,ni->...i", bds * bds, params["esw_fine"],
+                          precision=_pitch_prec())
     xc2_raw = cc[..., :_FINE_LAGS]
     lags2 = jnp.arange(_FINE_LAGS, dtype=jnp.int32)
     near = (jnp.abs(lags2 - 2 * best4[..., None]) <= 2) | (

@@ -226,3 +226,27 @@ class TestCorrTables:
                 for b in range(3)
             ])
             np.testing.assert_allclose(got, want, atol=2e-3 * np.abs(want).max())
+
+
+class TestPitchPrecisionKnob:
+    def test_default_is_highest(self, monkeypatch):
+        """Default MUST stay 6-pass: measured on v5e, 3-pass bf16x3 flips a
+        near-tie pitch lag ~1/450 frame decisions on periodic speech, and a
+        single flip moves denoised samples ~6e-2 — outside the 1e-4 parity
+        budget (north star; BASELINE.json)."""
+        import jax.lax as lax
+
+        from crispy_tpu.dsp.rnnoise import jax_pipeline as jp
+
+        monkeypatch.delenv("CRISPY_PITCH_PREC", raising=False)
+        assert jp._pitch_prec() == lax.Precision.HIGHEST
+
+    def test_opt_in_throughput_mode(self, monkeypatch):
+        import jax.lax as lax
+
+        from crispy_tpu.dsp.rnnoise import jax_pipeline as jp
+
+        monkeypatch.setenv("CRISPY_PITCH_PREC", "high")
+        assert jp._pitch_prec() == lax.Precision.HIGH
+        monkeypatch.setenv("CRISPY_PITCH_PREC", "HIGHEST")
+        assert jp._pitch_prec() == lax.Precision.HIGHEST

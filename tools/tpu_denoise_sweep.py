@@ -5,7 +5,10 @@ bench/headline configuration. Reuses bench.py's timing harness
 
 Usage: python tools/tpu_denoise_sweep.py [--frames F] [S ...]
 Measured on v5e (round 3): S=128 F=100 is the optimum — throughput is
-flat at 256 and declines at 512.
+flat at 256 and declines at 512. Round 4 re-checked the frame axis:
+F=400 is ~14% WORSE (10,110x at S=128, 9,456x at S=256) — per-dispatch
+overhead is already hidden by async pipelining, and the 4x working set
+(windows/spectra tensors) costs more in HBM traffic than it saves.
 """
 
 import argparse
