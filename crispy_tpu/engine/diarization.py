@@ -517,9 +517,11 @@ def _diarize_fused_frontend(
 
     n = audio.shape[0]
     pad_to = dd.pad_length(n)
-    dev = jax.device_put(dd.quantize_i16(audio, pad_to))
-
-    margin = dd.segmentation_margins(dev, pad_to)  # [W, 589]
+    with dd.QUANT_LOCK:
+        dev = jax.device_put(dd.quantize_i16(audio, pad_to))
+        # margins force the upload; the shared quantize scratch is free to
+        # reuse once the fetch returns
+        margin = dd.segmentation_margins(dev, pad_to)  # [W, 589]
     logits = np.stack([-margin, margin], axis=-1)
     merged = _runs_from_logits(logits, n, merge_gap)
     segments = _segments_from_runs(merged, audio)

@@ -41,6 +41,18 @@ _SWEEP_BATCH = 16  # p-chunk for lax.map: bounds the [batch, N, N] working set
 # 64-p sweep ~3x faster than bs=8 — 2.45 s vs 7.2 s warm; beyond 16 only
 # compile time grows)
 
+# Above this bucket the p-sweep switches from full `eigvalsh` to subspace
+# iteration for the bottom KMAX+1 eigenvalues (all the sweep consumes).
+# Measured on v5e at N=1024, P=60: 1.86 s -> 75 ms, and MORE accurate on
+# clustered spectra — f32 QDWH eigvalsh smears a 7-fold zero cluster by
+# up to 1.8e-2 (vs f64 LAPACK truth) where the Ritz values stay ≤5e-3;
+# the k-cut edge eigenvalue carries ~3e-2 one-sided Ritz bias, the same
+# order as the QDWH error it replaces. Below the threshold full eigvalsh
+# is cheap and keeps the small-n paths maximally boring.
+_SUBSPACE_MIN_N = 512
+_SUBSPACE_ITERS = 48
+_SUBSPACE_MAX_DIM = 64  # fall back to eigvalsh when KMAX+2 exceeds this
+
 
 def _bucket(n: int, lo: int = 8) -> int:
     """Power-of-two up to 256, then multiples of 256: eigh is O(N³), so
@@ -67,6 +79,32 @@ def _build_core(N: int, P: int, KMAX: int, n_sq: int):
     slots (≥ every runtime kmax); n_sq: reachability squaring count.
     """
     HI = jax.lax.Precision.HIGHEST
+    S_SUB = max(16, KMAX + 2)
+    use_subspace = N >= _SUBSPACE_MIN_N and S_SUB <= _SUBSPACE_MAX_DIM
+    # deterministic start basis; any fixed full-rank matrix works (the
+    # iteration forgets it at the geometric rate)
+    V0 = jnp.asarray(
+        np.random.default_rng(0).standard_normal((N, S_SUB)).astype(np.float32))
+
+    def _ritz(L):
+        """Bottom-S_SUB eigenpairs of L by subspace iteration on M = 3I−L
+        (spectrum of the real block lies in [0,2]; pad rows sit at exactly
+        3 so M sends them to 0, below every real mode). Returns
+        (ascending bottom eigenvalues [S_SUB], matching Ritz vectors
+        [N, S_SUB]). Ritz values upper-bound the true eigenvalues."""
+        M = 3.0 * jnp.eye(N, dtype=jnp.float32) - L
+
+        with jax.default_matmul_precision("float32"):
+            def it(_, V):
+                Q, _r = jnp.linalg.qr(jnp.matmul(M, V))
+                return Q
+
+            V = lax.fori_loop(0, _SUBSPACE_ITERS, it, V0)
+            T = jnp.matmul(V.T, jnp.matmul(M, V))
+        mu, W = jnp.linalg.eigh(T)  # ascending in mu = 3 - lambda
+        lam = (3.0 - mu)[::-1]  # ascending bottom eigenvalues of L
+        vecs = jnp.matmul(V, W, precision=HI)[:, ::-1]
+        return lam, vecs
 
     def _laplacian(a, valid):
         # a: pruned symmetric affinity with zero diagonal / zero pad rows.
@@ -156,7 +194,11 @@ def _build_core(N: int, P: int, KMAX: int, n_sq: int):
 
         def sweep(p):
             a = pruned(p)
-            ev = jnp.linalg.eigvalsh(_laplacian(a, valid))
+            lap = _laplacian(a, valid)
+            if use_subspace:
+                ev = _ritz(lap)[0]  # bottom S_SUB ≥ KMAX+1, ascending
+            else:
+                ev = jnp.linalg.eigvalsh(lap)
             k, gap = _eigengap(ev, kmax)
             ratio = (p.astype(jnp.float32) / n.astype(jnp.float32)) \
                 / jnp.maximum(gap, 1e-6)
@@ -181,7 +223,11 @@ def _build_core(N: int, P: int, KMAX: int, n_sq: int):
         k = jnp.clip(ks[pi], 1, kmax)
 
         # spectral embedding at p*
-        _evals, evecs = jnp.linalg.eigh(_laplacian(pruned(ps[pi]), valid))
+        lap_star = _laplacian(pruned(ps[pi]), valid)
+        if use_subspace:
+            _lam, evecs = _ritz(lap_star)  # ascending-eigenvalue columns
+        else:
+            _evals, evecs = jnp.linalg.eigh(lap_star)
         spec = evecs[:, :KMAX] * (jnp.arange(KMAX) < k)[None, :]
         rn = jnp.sqrt(jnp.sum(spec * spec, axis=1, keepdims=True))
         spec = jnp.where(rn > 1e-9, spec / jnp.maximum(rn, 1e-9), spec)

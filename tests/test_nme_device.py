@@ -117,3 +117,69 @@ class TestDeviceParity:
         emb = cluster_emb(range(2), per=5)
         labels = dz.nme_sc(emb, 4)
         assert len(set(labels.tolist())) == 2
+
+
+class TestSubspaceSweep:
+    """Large buckets (N ≥ 512) switch the p-sweep from full eigvalsh to
+    subspace iteration for the bottom KMAX+1 eigenvalues. Partition
+    equality vs the host oracle must hold across the switch."""
+
+    def test_large_n_clusters_match_host(self):
+        rng = np.random.default_rng(11)
+        k_true = 5
+        centers = rng.standard_normal((k_true, 24)).astype(np.float32) * 3.0
+        n = 300  # bucket 512 → subspace path
+        emb = (centers[rng.integers(0, k_true, n)]
+               + 0.12 * rng.standard_normal((n, 24))).astype(np.float32)
+        dev = nme_device.nme_sc_device(emb, 8)
+        host = dz.nme_sc_host(emb, 8)
+        assert canonical(dev) == canonical(host)
+
+    def test_large_n_ritz_values_accurate(self):
+        """The Ritz bottom eigenvalues that feed the eigengap must track
+        f64 LAPACK truth: converged below the cluster cut, one-sided
+        (upper-bound) and small at the cut edge."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(5)
+        k_true = 4
+        centers = rng.standard_normal((k_true, 16)).astype(np.float32) * 3.0
+        n = 300
+        emb = (centers[rng.integers(0, k_true, n)]
+               + 0.1 * rng.standard_normal((n, 16))).astype(np.float32)
+
+        N = nme_device._bucket(n)
+        assert N >= nme_device._SUBSPACE_MIN_N
+        # reproduce the core's affinity/prune/laplacian for one mid-sweep p
+        norms = np.sqrt((emb ** 2).sum(1))
+        normed = emb / np.maximum(norms, 1e-12)[:, None]
+        aff = np.clip(normed @ normed.T, 0, 1)
+        np.fill_diagonal(aff, 0.0)
+        p = 10
+        rank = np.argsort(np.argsort(-aff, axis=1, kind="stable"), axis=1)
+        a = np.where(rank < p, aff, 0.0)
+        a = np.maximum(a, a.T)
+        apad = np.zeros((N, N), np.float32)
+        apad[:n, :n] = a
+        valid = np.arange(N) < n
+        dinv = 1.0 / np.sqrt(np.maximum(apad.sum(1), 1e-9))
+        lap = np.eye(N, dtype=np.float32) - dinv[:, None] * apad * dinv[None, :]
+        lap[np.arange(N)[~valid], np.arange(N)[~valid]] = 3.0
+
+        truth = np.linalg.eigvalsh(lap.astype(np.float64))[:10]
+        # replicate the core's _ritz arithmetic on this Laplacian
+        import jax
+
+        S_SUB = 16
+        V0 = jnp.asarray(np.random.default_rng(0)
+                         .standard_normal((N, S_SUB)).astype(np.float32))
+        M = 3.0 * jnp.eye(N) - jnp.asarray(lap)
+        with jax.default_matmul_precision("float32"):
+            V = V0
+            for _ in range(nme_device._SUBSPACE_ITERS):
+                V, _ = jnp.linalg.qr(jnp.matmul(M, V))
+            T = jnp.matmul(V.T, jnp.matmul(M, V))
+        lam = np.asarray(3.0 - jnp.linalg.eigvalsh(T)[::-1])[:10]
+        err = lam - truth
+        assert err.min() > -1e-3  # Ritz values upper-bound the truth
+        assert np.abs(err).max() < 5e-2
