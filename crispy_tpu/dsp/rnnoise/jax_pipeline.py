@@ -41,6 +41,7 @@ import numpy as np
 from jax import lax
 
 from . import constants as C
+from . import radix_dft as rdft
 from .weights import RNNoiseModel, builtin_model
 
 _HIGH = lax.Precision.HIGHEST  # output-affecting matmuls (1e-4 parity budget)
@@ -80,37 +81,44 @@ _FINE_LAGS = (PMAX - 3 * PMIN) >> 1  # 294
 _RD_MAXP = PMAX // 2  # 384: remove_doubling half-rate max period
 _RD_N = PFRAME // 2  # 480
 _RD_MINP = PMIN // 2  # 30
+_ESW_B = 48  # sliding-energy block size (divides both window lengths 240/480)
 
 
 # ---------------------------------------------------------------------------
 # Parameter/table preparation (host-side, float64 → device float32)
 # ---------------------------------------------------------------------------
 
+_BIQ_BS = 120  # biquad sub-frame: 480 = 4×120; [120,120] pads to one MXU tile
+
+
 def _biquad_tables() -> Dict[str, np.ndarray]:
     """Modal decomposition of the HP biquad's IIR part.
 
     y_n = x'_n - A1 y_{n-1} - A2 y_{n-2}, poles p, conj(p); impulse response
-    h[m] = 2 Re(c p^m) with c = p / (p - conj(p)). The within-frame response
-    is a lower-triangular Toeplitz matmul; cross-frame state is a single
-    complex modal amplitude (bounded basis, so f32 stays accurate — carrying
+    h[m] = 2 Re(c p^m) with c = p / (p - conj(p)). The within-sub-frame
+    response is a lower-triangular Toeplitz matmul at sub-frame size 120
+    (4× fewer MACs than per-frame 480, and [120,120] fits a single padded
+    128-lane MXU tile); cross-sub-frame state is a single complex modal
+    amplitude (bounded basis, so f32 stays accurate — carrying
     (y[-1], y[-2]) instead would amplify rounding ~150x via the
     near-degenerate pole pair).
     """
+    bs = _BIQ_BS
     a1, a2 = np.float64(C.BIQUAD_A_HP[0]), np.float64(C.BIQUAD_A_HP[1])
     # y_n = x'_n + (-a1) y_{n-1} + (-a2) y_{n-2}
     p = (-a1 + np.sqrt(complex(a1 * a1 - 4 * a2))) / 2.0
     c = p / (p - np.conj(p))
-    n = np.arange(FRAME, dtype=np.float64)
-    pn = p ** n  # [480]
-    h = 2.0 * np.real(c * pn)  # h[0..479]
-    toe = np.zeros((FRAME, FRAME), dtype=np.float64)
-    i, j = np.indices((FRAME, FRAME))
+    n = np.arange(bs, dtype=np.float64)
+    pn = p ** n  # [120]
+    h = 2.0 * np.real(c * pn)  # h[0..119]
+    toe = np.zeros((bs, bs), dtype=np.float64)
+    i, j = np.indices((bs, bs))
     mask = i >= j
     toe[mask] = h[(i - j)[mask]]
-    # Injection weights: a_inj = sum_j (c * p^(FRAME - j)) x'_j
-    kinj = c * p ** (FRAME - n)
-    # p^(480*(f+1)) for the cross-frame carry propagation (up to 4096 frames)
-    pows = (p ** FRAME) ** np.arange(1, 4097, dtype=np.float64)
+    # Injection weights: a_inj = sum_j (c * p^(bs - j)) x'_j
+    kinj = c * p ** (bs - n)
+    # p^(120*(g+1)) for the carry propagation (4096 frames = 16384 sub-frames)
+    pows = (p ** bs) ** np.arange(1, 4 * 4096 + 1, dtype=np.float64)
     return {
         "biq_pows_re": np.real(pows).astype(np.float32),
         "biq_pows_im": np.imag(pows).astype(np.float32),
@@ -119,8 +127,8 @@ def _biquad_tables() -> Dict[str, np.ndarray]:
         "biq_kinj_im": np.imag(kinj).astype(np.float32),
         "biq_pvec_re": np.real(pn).astype(np.float32),
         "biq_pvec_im": np.imag(pn).astype(np.float32),
-        "biq_p480_re": np.float32(np.real(p ** FRAME)),
-        "biq_p480_im": np.float32(np.imag(p ** FRAME)),
+        "biq_p480_re": np.float32(np.real(p ** bs)),
+        "biq_p480_im": np.float32(np.imag(p ** bs)),
     }
 
 
@@ -209,12 +217,36 @@ def _dft_tables() -> Dict[str, np.ndarray]:
     }
 
 
+# Radix (Cooley–Tukey split) per transform: chosen so the base matmuls pad
+# to near-full 128-lane MXU tiles (see radix_dft docstring). Tuned on chip.
+_RADIX = {"dft": 8, "inv": 16, "x4": 2, "y4": 2, "c4": 2, "x2": 8, "y2": 8, "c2": 8}
+
+
+def _radix_tables() -> Dict[str, np.ndarray]:
+    """One-level split factorizations of every matmul DFT in the pipeline
+    (4–8× fewer padded MACs at identical HIGHEST-precision matmuls)."""
+    w = C.full_window().astype(np.float64)
+    t: Dict[str, np.ndarray] = {}
+    t.update(rdft.fwd_tables(WIN, WIN, _RADIX["dft"], NFREQ, w, 1.0 / WIN, "rx_dft"))
+    t.update(rdft.inv_tables(WIN, NFREQ, WIN, _RADIX["inv"], w, 1.0, prefix="rx_inv"))
+    t.update(rdft.fwd_tables(448, 240, _RADIX["x4"], 225, prefix="rx_x4"))
+    t.update(rdft.fwd_tables(448, 387, _RADIX["y4"], 225, prefix="rx_y4"))
+    t.update(rdft.inv_tables(448, 225, _COARSE_LAGS, _RADIX["c4"],
+                             scale=1.0 / 448, prefix="rx_c4"))
+    t.update(rdft.fwd_tables(896, _RD_N, _RADIX["x2"], 449, prefix="rx_x2"))
+    t.update(rdft.fwd_tables(896, PBUF // 2, _RADIX["y2"], 449, prefix="rx_y2"))
+    t.update(rdft.inv_tables(896, 449, _RD_MAXP + 1, _RADIX["c2"],
+                             scale=1.0 / 896, prefix="rx_c2"))
+    return t
+
+
 def make_params(model: Optional[RNNoiseModel] = None) -> Dict[str, jnp.ndarray]:
     model = model or builtin_model()
     t: Dict[str, np.ndarray] = {}
     t.update(_biquad_tables())
     t.update(_dft_tables())
     t.update(_corr_tables())
+    t.update(_radix_tables())
     # Fused (re‖im) forward-DFT tables: one MXU matmul instead of two, and
     # the input frames stream from HBM once. Per-column dot products are
     # unchanged, so results are bitwise identical to the split tables.
@@ -346,6 +378,52 @@ def _sliding_energy(y: jnp.ndarray, win: int, nlags: int) -> jnp.ndarray:
     return c[..., win: win + nlags] - c[..., :nlags]
 
 
+def _use_block_esw() -> bool:
+    """Hierarchical block-sum sliding energies instead of the banded
+    [len, lags] matmuls — ~14× fewer MACs on the fine path, no window
+    subtraction across blocks (head/tail resolve within a single block,
+    so there is no prefix-cancellation error). Measured a WASH on v5e
+    (11.87 vs 11.83 ms block step: the freed MXU time is repaid in VPU
+    cumsum passes), so the battle-tested banded tables stay the default;
+    CRISPY_BLOCK_ESW=on opts in (useful on MXU-bound parts)."""
+    return (_use_matmul_dft()
+            and os.environ.get("CRISPY_BLOCK_ESW", "off") == "on")
+
+
+def _sliding_energy_blocks(sq: jnp.ndarray, win: int, nstarts: int) -> jnp.ndarray:
+    """ws[.., s] = sum_{j<win} sq[.., s+j] for s in 0..nstarts-1.
+
+    Decomposes each window at block granularity B (win must be a multiple
+    of B): head = blocksum[q] − prefix[q, r], then whole blocks q+1..q+w−1
+    from a cumulative block-sum, then tail = prefix[q+w, r], where
+    s = B·q + r. One tiny [B, B+1] prefix matmul replaces the banded
+    [len, nstarts] energy matrix."""
+    B = _ESW_B
+    assert win % B == 0
+    nwb = win // B
+    L = sq.shape[-1]
+    nb = -(-L // B)
+    if nb * B > L:
+        sq = jnp.pad(sq, [(0, 0)] * (sq.ndim - 1) + [(0, nb * B - L)])
+    nq = (nstarts - 1) // B + 1
+    blocks = sq.reshape(*sq.shape[:-1], nb, B)
+    # Within-block prefix sums on the VPU (a [B, B+1] HIGHEST matmul here
+    # would pad K to 128 lanes and 6-pass — costlier than it saves).
+    ics = jnp.cumsum(blocks, axis=-1)  # inclusive
+    bsum = ics[..., -1]
+    P = jnp.concatenate([jnp.zeros_like(ics[..., :1]), ics[..., :-1]],
+                        axis=-1)  # exclusive prefix [.., nb, B]
+    cbi = jnp.cumsum(bsum, axis=-1)  # inclusive block-sum prefix
+    if nq + nwb > nb:
+        P = jnp.pad(P, [(0, 0)] * (P.ndim - 2) + [(0, nq + nwb - nb), (0, 0)])
+    # full[q] = sum of blocks q+1 .. q+nwb-1 = cbi[q+nwb-1] − cbi[q]
+    full = cbi[..., nwb - 1: nwb - 1 + nq] - cbi[..., :nq]
+    head = bsum[..., :nq, None] - P[..., :nq, :B]  # block q minus prefix r
+    ws = head + full[..., None] + P[..., nwb: nwb + nq, :B]
+    ws = ws.reshape(*ws.shape[:-2], nq * B)
+    return ws[..., :nstarts]
+
+
 def _top2(ratio: jnp.ndarray, valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """C find_best_pitch selection: top-2 lags of ratio among valid entries,
     first-index tie-break, with the C defaults (0, 1) / (i, 0) on <2 valid."""
@@ -369,22 +447,23 @@ def _top2(ratio: jnp.ndarray, valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndar
 def _hp_biquad(params, state, x: jnp.ndarray) -> Tuple[dict, jnp.ndarray]:
     """x: [S, F, 480] scaled raw frames → HP-filtered frames, same shape."""
     S, F, _ = x.shape
+    G = F * (FRAME // _BIQ_BS)  # sub-frame count
     flat = x.reshape(S, F * FRAME)
     hist = jnp.concatenate([state["x_prev"], flat], axis=-1)
-    xm1 = hist[:, 1:-1].reshape(S, F, FRAME)
-    xm2 = hist[:, :-2].reshape(S, F, FRAME)
-    xp = flat.reshape(S, F, FRAME) + C.BIQUAD_B_HP[0] * xm1 + C.BIQUAD_B_HP[1] * xm2
+    xm1 = hist[:, 1:-1].reshape(S, G, _BIQ_BS)
+    xm2 = hist[:, :-2].reshape(S, G, _BIQ_BS)
+    xp = flat.reshape(S, G, _BIQ_BS) + C.BIQUAD_B_HP[0] * xm1 + C.BIQUAD_B_HP[1] * xm2
 
-    y_local = jnp.einsum("sfj,ji->sfi", xp, params["biq_toeplitz"], precision=_HIGH)
-    inj_re = jnp.einsum("sfj,j->sf", xp, params["biq_kinj_re"], precision=_HIGH)
-    inj_im = jnp.einsum("sfj,j->sf", xp, params["biq_kinj_im"], precision=_HIGH)
+    y_local = jnp.einsum("sgj,ji->sgi", xp, params["biq_toeplitz"], precision=_HIGH)
+    inj_re = jnp.einsum("sgj,j->sg", xp, params["biq_kinj_re"], precision=_HIGH)
+    inj_im = jnp.einsum("sgj,j->sg", xp, params["biq_kinj_im"], precision=_HIGH)
 
     p_re, p_im = params["biq_p480_re"], params["biq_p480_im"]
 
-    # Linear complex recurrence a_f = p^480 * a_{f-1} + inj_f: log-depth
-    # associative scan instead of a sequential 100-step lax.scan (whose
-    # per-step output stacking dominated the stage).
-    ones = jnp.ones((S, F), jnp.float32)
+    # Linear complex recurrence a_g = p^120 * a_{g-1} + inj_g: log-depth
+    # associative scan instead of a sequential lax.scan (whose per-step
+    # output stacking dominated the stage).
+    ones = jnp.ones((S, G), jnp.float32)
     elems = (ones * p_re, ones * p_im, inj_re, inj_im)
 
     def combine(x, y):
@@ -399,13 +478,13 @@ def _hp_biquad(params, state, x: jnp.ndarray) -> Tuple[dict, jnp.ndarray]:
         )
 
     _, _, acc_re, acc_im = lax.associative_scan(combine, elems, axis=1)
-    # acc_f = amplitude AFTER frame f given zero initial state; add the
-    # carried initial amplitude propagated by p^(480*(f+1)).
-    pk_re, pk_im = params["biq_pows_re"], params["biq_pows_im"]  # p^(480(f+1)), [F]
+    # acc_g = amplitude AFTER sub-frame g given zero initial state; add the
+    # carried initial amplitude propagated by p^(120*(g+1)).
+    pk_re, pk_im = params["biq_pows_re"], params["biq_pows_im"]  # p^(120(g+1)), [G]
     a0r = state["biq_a_re"][:, None]
     a0i = state["biq_a_im"][:, None]
-    tot_re = acc_re + a0r * pk_re[:F] - a0i * pk_im[:F]
-    tot_im = acc_im + a0r * pk_im[:F] + a0i * pk_re[:F]
+    tot_re = acc_re + a0r * pk_re[:G] - a0i * pk_im[:G]
+    tot_im = acc_im + a0r * pk_im[:G] + a0i * pk_re[:G]
     # Amplitude at frame START = previous frame's total (frame 0: the carry).
     amps_re = jnp.concatenate([a0r, tot_re[:, :-1]], axis=1)[..., None]
     amps_im = jnp.concatenate([a0i, tot_im[:, :-1]], axis=1)[..., None]
@@ -417,7 +496,7 @@ def _hp_biquad(params, state, x: jnp.ndarray) -> Tuple[dict, jnp.ndarray]:
     new_state["x_prev"] = flat[:, -2:]
     new_state["biq_a_re"] = a_re_f
     new_state["biq_a_im"] = a_im_f
-    return new_state, y.astype(jnp.float32)
+    return new_state, y.astype(jnp.float32).reshape(S, F, FRAME)
 
 
 # ---------------------------------------------------------------------------
@@ -428,6 +507,16 @@ def _cross_corr(params, x, y, tagx, tagy, tagc, nlags):
     """corr[.., i] = sum_j x[.., j] y[.., j+i] — matmul DFT on TPU, FFT off."""
     if _use_matmul_dft():
         prec = _pitch_prec()
+        if _use_radix_dft():
+            kx = 225 if tagc == "c4" else 449
+            xri = rdft.apply_fwd(params, f"rx_{tagx}", x, kx, precision=prec)
+            yri = rdft.apply_fwd(params, f"rx_{tagy}", y, kx, precision=prec)
+            xr, xi = xri[..., :kx], xri[..., kx:]
+            yr, yi = yri[..., :kx], yri[..., kx:]
+            cr = xr * yr + xi * yi  # conj(X) * Y
+            ci = xr * yi - xi * yr
+            return rdft.apply_inv(params, f"rx_{tagc}", cr, ci, nlags,
+                                  precision=prec)
         kx = params[f"cf_{tagx}_re"].shape[1]
         ky = params[f"cf_{tagy}_re"].shape[1]
         xri = jnp.einsum("...n,nk->...k", x, params[f"cf_{tagx}"], precision=prec)
@@ -477,11 +566,12 @@ def _pitch_index(params, state, ext: jnp.ndarray, F: int):
     y4 = _windows(D2, 120, (PFRAME + (PMAX - 3 * PMIN)) >> 2, F)  # [S, F, 387]
     y4 = y4.at[:, :, 0].set(b0)  # y4[0] = bds[0] (per-frame edge fix)
     xc4 = _cross_corr(params, x4, y4, "x4", "y4", "c4", _COARSE_LAGS)
-    syy4 = jnp.maximum(
-        1.0,
-        1.0 + jnp.einsum("...n,ni->...i", y4 * y4, params["esw_4"],
-                         precision=_pitch_prec()),
-    )
+    if _use_block_esw():
+        e4 = _sliding_energy_blocks(y4 * y4, 240, _COARSE_LAGS)
+    else:
+        e4 = jnp.einsum("...n,ni->...i", y4 * y4, params["esw_4"],
+                        precision=_pitch_prec())
+    syy4 = jnp.maximum(1.0, 1.0 + e4)
     neg = jnp.float32(-1e30)
     ratio4 = jnp.where(xc4 > 0, (xc4 * xc4) / syy4, neg)
     best4, second4 = _top2(ratio4, xc4 > 0)
@@ -489,8 +579,15 @@ def _pitch_index(params, state, ext: jnp.ndarray, F: int):
     # --- fine stage + remove_doubling share one cross-correlation ----------
     x2 = bds[..., PMAX // 2:]  # [S, F, 480]
     cc = _cross_corr(params, x2, bds, "x2", "y2", "c2", _RD_MAXP + 1)  # [S,F,385]
-    energies = jnp.einsum("...n,ni->...i", bds * bds, params["esw_fine"],
-                          precision=_pitch_prec())
+    if _use_block_esw():
+        # Both banded-column families of esw_fine are length-480 windows
+        # with starts 0..384: syy2[i] = ws[i], yyl[T] = ws[384 − T].
+        ws = _sliding_energy_blocks(bds * bds, _RD_N, _RD_MAXP + 1)
+        energies = jnp.concatenate(
+            [ws[..., :_FINE_LAGS], jnp.flip(ws, axis=-1)], axis=-1)
+    else:
+        energies = jnp.einsum("...n,ni->...i", bds * bds, params["esw_fine"],
+                              precision=_pitch_prec())
     xc2_raw = cc[..., :_FINE_LAGS]
     lags2 = jnp.arange(_FINE_LAGS, dtype=jnp.int32)
     near = (jnp.abs(lags2 - 2 * best4[..., None]) <= 2) | (
@@ -598,7 +695,8 @@ def _pitch_index(params, state, ext: jnp.ndarray, F: int):
         from .pallas_rnn import rd_scan_pallas
 
         pitch_f, lp_f, lg = rd_scan_pallas(
-            packed, state["last_period"].astype(jnp.float32), state["last_gain"])
+            packed, state["last_period"].astype(jnp.float32), state["last_gain"],
+            interpret=jax.default_backend() != "tpu")
         return pitch_f.astype(jnp.int32), lp_f.astype(jnp.int32), lg
 
     (lp, lg), pitch_idx = lax.scan(
@@ -623,6 +721,20 @@ def _use_matmul_dft() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _use_radix_dft() -> bool:
+    """Radix-split matmul DFTs (radix_dft.py): mathematically exact
+    regroupings of the flat matrices with 4–8× fewer padded MACs — but
+    MEASURED NET-NEGATIVE on v5e (block step 14.4 ms vs 11.8 flat at
+    S=128/F=100): the twiddle/recombine passes add ~50 MB of VPU/HBM
+    traffic per transform, which costs more than the saved MXU time at
+    this chip's compute/bandwidth balance (the flat HIGHEST matmul DFT
+    sits near the roofline knee; see NEXT_STEPS round-4 notes). Kept as
+    an opt-in (CRISPY_RADIX_DFT=on) because the balance differs on
+    larger TPUs where MXU time dominates."""
+    return (_use_matmul_dft()
+            and os.environ.get("CRISPY_RADIX_DFT", "off") == "on")
+
+
 def _use_fused_spectra() -> bool:
     """OPT-IN fused Pallas spectra kernels (pallas_frontend): ~+10%
     denoise throughput, but Mosaic's single-pass f32 matmul relaxes
@@ -636,7 +748,11 @@ def _use_fused_spectra() -> bool:
 def _spectrum(params, frames: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """frames [.., 960] → windowed DFT (re, im) [.., 481], RNNoise 1/N scaling."""
     if _use_matmul_dft():
-        ri = jnp.einsum("...n,nk->...k", frames, params["dft_fwd"], precision=_HIGH)
+        if _use_radix_dft():
+            ri = rdft.apply_fwd(params, "rx_dft", frames, NFREQ)
+        else:
+            ri = jnp.einsum("...n,nk->...k", frames, params["dft_fwd"],
+                            precision=_HIGH)
         return ri[..., :NFREQ], ri[..., NFREQ:]
     hw = params["half_window"]
     w = jnp.concatenate([hw, hw[::-1]])
@@ -647,6 +763,8 @@ def _spectrum(params, frames: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def _inv_spectrum(params, re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
     """(re, im) [.., 481] → windowed time frame [.., 960] (x WIN scaling folded)."""
     if _use_matmul_dft():
+        if _use_radix_dft():
+            return rdft.apply_inv(params, "rx_inv", re, im, WIN)
         return (
             jnp.einsum("...k,kn->...n", re, params["dft_inv_re"], precision=_HIGH)
             + jnp.einsum("...k,kn->...n", im, params["dft_inv_im"], precision=_HIGH)
@@ -888,7 +1006,9 @@ def denoise_block(params, state, block: jnp.ndarray):
     if _use_matmul_dft():
         from .pallas_rnn import nn_scan_pallas
 
-        (graw, gsmooth, vad), nn_state = nn_scan_pallas(params, state, feats, silence)
+        (graw, gsmooth, vad), nn_state = nn_scan_pallas(
+            params, state, feats, silence,
+            interpret=jax.default_backend() != "tpu")
     else:
         (graw, gsmooth, vad), nn_state = _nn_scan(params, state, feats, silence)
     state.update(nn_state)

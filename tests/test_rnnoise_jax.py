@@ -250,3 +250,108 @@ class TestPitchPrecisionKnob:
         assert jp._pitch_prec() == lax.Precision.HIGH
         monkeypatch.setenv("CRISPY_PITCH_PREC", "HIGHEST")
         assert jp._pitch_prec() == lax.Precision.HIGHEST
+
+
+class TestRadixDFT:
+    """The radix-split (Cooley–Tukey) matmul DFTs (radix_dft.py) must be
+    numerically interchangeable with the flat single-matmul tables — the
+    split is an exact regrouping, so agreement is at f32 rounding level,
+    far inside the 1e-4 oracle budget."""
+
+    def test_radix_forward_matches_flat_tables(self):
+        from crispy_tpu.dsp.rnnoise import jax_pipeline as jp
+        from crispy_tpu.dsp.rnnoise import radix_dft as rdft
+
+        t = {**jp._corr_tables(), **jp._dft_tables()}
+        # rebuild the fused (re‖im) flat tables the pipeline uses
+        for k in [k for k in list(t) if k.endswith("_re")
+                  and (k.startswith("cf_") or k == "dft_fwd_re")]:
+            base = k[:-3]
+            t[base] = np.concatenate([t[k], t[f"{base}_im"]], axis=1)
+        rx = {kk: np.asarray(vv) for kk, vv in jp._radix_tables().items()}
+        rng = np.random.default_rng(7)
+        cases = [("rx_dft", "dft_fwd", 960, 481), ("rx_x4", "cf_x4", 240, 225),
+                 ("rx_y4", "cf_y4", 387, 225), ("rx_x2", "cf_x2", 480, 449),
+                 ("rx_y2", "cf_y2", 864, 449)]
+        for rtag, ftag, length, nb in cases:
+            x = rng.standard_normal((3, length)).astype(np.float32)
+            want = x @ t[ftag]
+            got = np.asarray(rdft.apply_fwd(rx, rtag, x, nb))
+            tol = 3e-5 * max(1.0, np.abs(want).max())
+            np.testing.assert_allclose(got, want, atol=tol, err_msg=rtag)
+
+    def test_radix_inverse_matches_flat_tables(self):
+        from crispy_tpu.dsp.rnnoise import jax_pipeline as jp
+        from crispy_tpu.dsp.rnnoise import radix_dft as rdft
+
+        t = {**jp._corr_tables(), **jp._dft_tables()}
+        rx = {kk: np.asarray(vv) for kk, vv in jp._radix_tables().items()}
+        rng = np.random.default_rng(8)
+        # spectra inverse (window folded, x WIN scaling)
+        re = rng.standard_normal((3, 481)).astype(np.float32)
+        im = rng.standard_normal((3, 481)).astype(np.float32)
+        want = re @ t["dft_inv_re"] + im @ t["dft_inv_im"]
+        got = np.asarray(rdft.apply_inv(rx, "rx_inv", re, im, 960))
+        np.testing.assert_allclose(got, want, atol=3e-5 * np.abs(want).max())
+        # correlation inverses (1/N scaling, no window)
+        for rtag, ftag, nb, nl in [("rx_c4", "c4", 225, 147),
+                                   ("rx_c2", "c2", 449, 385)]:
+            cr = rng.standard_normal((3, nb)).astype(np.float32)
+            ci = rng.standard_normal((3, nb)).astype(np.float32)
+            want = cr @ t[f"ci_{ftag}_re"] + ci @ t[f"ci_{ftag}_im"]
+            got = np.asarray(rdft.apply_inv(rx, rtag, cr, ci, nl))
+            tol = 3e-5 * max(1.0, np.abs(want).max())
+            np.testing.assert_allclose(got, want, atol=tol, err_msg=rtag)
+
+
+class TestBlockESW:
+    def test_block_sliding_energy_matches_banded_tables(self, params):
+        """Hierarchical block sliding energies vs the banded matmul tables
+        (coarse 240-window and fine 480-window families, incl. the flipped
+        yyl column family)."""
+        from crispy_tpu.dsp.rnnoise import jax_pipeline as jp
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(9)
+        bds = jnp.asarray(rng.standard_normal((2, 5, 864)).astype(np.float32))
+        ws = jp._sliding_energy_blocks(bds * bds, 480, 385)
+        got = jnp.concatenate([ws[..., :294], jnp.flip(ws, axis=-1)], axis=-1)
+        want = jnp.einsum("...n,ni->...i", bds * bds, params["esw_fine"],
+                          precision=jp._HIGH)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4 * float(jnp.abs(want).max()))
+        y4 = jnp.asarray(rng.standard_normal((2, 5, 387)).astype(np.float32))
+        e4 = jp._sliding_energy_blocks(y4 * y4, 240, 147)
+        want4 = jnp.einsum("...n,ni->...i", y4 * y4, params["esw_4"],
+                           precision=jp._HIGH)
+        np.testing.assert_allclose(np.asarray(e4), np.asarray(want4),
+                                   atol=2e-4 * float(jnp.abs(want4).max()))
+
+
+class TestForcedMatmulPathParity:
+    """Full-pipeline oracle parity with the TPU-only matmul branches forced
+    on the CPU backend (the real-chip run is tools/tpu_parity_check.py;
+    this keeps the radix/block-esw code paths covered in the suite)."""
+
+    @pytest.mark.parametrize("radix,esw", [("on", "on"), ("off", "off")])
+    def test_forced_matmul_parity(self, model, params, monkeypatch, radix, esw):
+        import jax
+        import jax.numpy as jnp
+
+        from crispy_tpu.dsp.rnnoise import jax_pipeline as jp
+
+        monkeypatch.setattr(jp, "_use_matmul_dft", lambda: True)
+        monkeypatch.setenv("CRISPY_RADIX_DFT", radix)
+        monkeypatch.setenv("CRISPY_BLOCK_ESW", esw)
+        n = 18 * FRAME
+        audio = np.stack([speechlike(n, seed=11, f0=120.0),
+                          speechlike(n, seed=12, f0=200.0)])
+        want = run_oracle(audio, model)
+        step = jax.jit(jp.denoise_block, donate_argnums=(1,))
+        state = jp.init_state(2)
+        blk = 6 * FRAME
+        out = np.zeros_like(audio)
+        for i in range(0, n, blk):
+            state, o, _ = step(params, state, jnp.asarray(audio[:, i: i + blk]))
+            out[:, i: i + blk] = np.asarray(o)
+        np.testing.assert_allclose(out, want, atol=1.5e-4)
