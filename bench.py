@@ -319,7 +319,10 @@ def bench_concurrent(minutes=4):
 
     seconds = minutes * 60
     rng = np.random.default_rng(0)
-    audio48 = jnp.asarray(rng.standard_normal((1, 48000 * seconds)).astype(np.float32) * 0.2)
+    # 16-bit PCM source, like every recording the product denoises —
+    # denoise_file's int16 wire halves the tunnel transfer both ways
+    pcm48 = (np.clip(rng.standard_normal((1, 48000 * seconds)) * 0.2, -1, 1)
+             * 32767).astype(np.int16)
     try:
         params = jp.make_params(builtin_model())  # the shipped artifact
     except Exception:
@@ -331,12 +334,12 @@ def bench_concurrent(minutes=4):
     box = [None]
 
     def step():
-        den = jp.denoise_batch(np.asarray(audio48), params=params)
+        den = jp.denoise_batch(pcm48, params=params, wire="i16")
         mel = log_mel_spectrogram(audio16, n_mels=m.cfg.n_mels)
         toks, _ = greedy_decode(m.params, m.cfg, mel, prompt, max_new=64, eot=-1)
         box[0] = (den, toks)
 
-    dt = _timeit(step, lambda: (float(box[0][0].sum()),
+    dt = _timeit(step, lambda: (int(np.asarray(box[0][0]).astype(np.int64).sum()),
                                 int(np.asarray(box[0][1]).sum())), reps=2, inner=1)
     return dt / seconds  # RTF
 

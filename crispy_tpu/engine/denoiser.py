@@ -266,8 +266,22 @@ def denoise_file(
     model: Optional[rn.RNNoiseModel] = None,
     block_frames: int = 500,
 ) -> dict:
-    """WAV → denoised WAV (every channel processed as one batched stream)."""
+    """WAV → denoised WAV (every channel processed as one batched stream).
+
+    16-bit 48 kHz sources take the int16-wire path: PCM crosses to and
+    from the device as int16 (halving the dominant transfer cost of long
+    files) with bit-identical output — the decode scale is an exact
+    power-of-two divide and the device quantization matches write_wav's.
+    """
+    fmt = wavio.read_format(in_path)
     audio, sr = wavio.read_wav(in_path)  # [frames, channels]
+    if sr == 48000 and fmt is not None and fmt.bits_per_sample == 16:
+        pcm = (audio.T * 32768.0).astype(np.int16)  # exact round-trip
+        out16 = jp.denoise_batch(pcm, model=model, block_frames=block_frames,
+                                 wire="i16")
+        wavio.write_wav(out_path, out16.T, 48000)
+        return {"channels": int(pcm.shape[0]), "samples": int(pcm.shape[1]),
+                "sample_rate": 48000}
     if sr != 48000:
         from ..dsp.resample import resample_poly
 

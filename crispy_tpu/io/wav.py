@@ -174,14 +174,21 @@ def write_wav(
     ``data`` may be (frames,) mono or (frames, channels). i16 conversion uses
     clamp + ×32767 to match the reference writer (recording.rs:108-112).
     """
-    data = np.asarray(data, dtype=np.float32)
+    data = np.asarray(data)
+    if data.dtype != np.int16:
+        data = data.astype(np.float32)
     if data.ndim == 1:
         data = data[:, None]
     frames, channels = data.shape
     if dtype == "i16":
-        pcm = (np.clip(data, -1.0, 1.0) * 32767.0).astype("<i2")
+        if data.dtype == np.int16:
+            pcm = data.astype("<i2")  # already-quantized PCM passthrough
+        else:
+            pcm = (np.clip(data, -1.0, 1.0) * 32767.0).astype("<i2")
         bits, audio_format = 16, 1
     elif dtype == "f32":
+        if data.dtype == np.int16:
+            data = data.astype(np.float32) / 32768.0
         pcm = data.astype("<f4")
         bits, audio_format = 32, 3
     else:

@@ -355,3 +355,54 @@ class TestForcedMatmulPathParity:
             state, o, _ = step(params, state, jnp.asarray(audio[:, i: i + blk]))
             out[:, i: i + blk] = np.asarray(o)
         np.testing.assert_allclose(out, want, atol=1.5e-4)
+
+
+class TestInt16Wire:
+    def test_i16_wire_matches_f32_wire_quantized(self, model, params):
+        """wire='i16' must reproduce the f32 wire + write_wav quantization
+        bit for bit on every processed frame; the partial tail passes the
+        raw input PCM through exactly (the f32 wire's float round trip
+        loses 1 LSB there to the ×32767/÷32768 asymmetry)."""
+        rng = np.random.default_rng(21)
+        n = 9 * FRAME + 77
+        pcm = (np.clip(rng.standard_normal((2, n)) * 0.3, -1, 1) * 32767
+               ).astype(np.int16)
+        f = pcm.astype(np.float32) / 32768.0
+        outf = jp.denoise_batch(f, params=params, block_frames=4)
+        hostq = (np.clip(outf, -1, 1) * 32767.0).astype(np.int16)
+        out16 = jp.denoise_batch(pcm, params=params, block_frames=4, wire="i16")
+        assert out16.dtype == np.int16
+        full = 9 * FRAME
+        np.testing.assert_array_equal(out16[:, :full], hostq[:, :full])
+        np.testing.assert_array_equal(out16[:, full:], pcm[:, full:])
+
+    def test_i16_wire_rejects_float_input(self, params):
+        with pytest.raises(TypeError):
+            jp.denoise_batch(np.zeros((1, FRAME), np.float32), params=params,
+                             wire="i16")
+
+    def test_denoise_file_i16_fast_path_matches_float_path(self, tmp_path, model):
+        """denoise_file's 16-bit fast path writes the same PCM the float
+        path would for every processed frame."""
+        from crispy_tpu.engine import denoiser
+        from crispy_tpu.io import wav as wavio
+
+        rng = np.random.default_rng(22)
+        n = 6 * FRAME
+        audio = (np.clip(rng.standard_normal(n) * 0.2, -1, 1) * 32767
+                 ).astype(np.int16).astype(np.float32) / 32768.0
+        src = tmp_path / "in.wav"
+        wavio.write_wav(src, audio, 48000)
+        out_a = tmp_path / "fast.wav"
+        denoiser.denoise_file(src, out_a, model=model)
+        # force the float path on the SAME samples: decode the 16-bit file
+        # and re-write it as float32 (write_wav's i16 quantization means
+        # writing `audio` directly would store different values)
+        decoded, _ = wavio.read_wav(src)
+        src_f = tmp_path / "in_f32.wav"
+        wavio.write_wav(src_f, decoded, 48000, dtype="f32")
+        out_b = tmp_path / "float.wav"
+        denoiser.denoise_file(src_f, out_b, model=model)
+        a, _ = wavio.read_wav(out_a)
+        b, _ = wavio.read_wav(out_b)
+        np.testing.assert_array_equal(a, b)
