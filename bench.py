@@ -344,6 +344,71 @@ def bench_concurrent(minutes=4):
     return dt / seconds  # RTF
 
 
+def bench_transcribe_file(minutes=10):
+    """Product-level end to end: a 16-bit 48 kHz mono WAV through the FULL
+    file pipeline — header parse + read, 48→16 kHz resample, 30 s chunk
+    batching, mel + encoder + greedy decode (whisper-tiny through the real
+    from_ggml container), progress/ETA events, result persistence and
+    checkpoint clearing (engine/transcription.run_transcription). The
+    reference analog is the serial whisper.cpp chunk loop
+    (commands/transcription.rs:98-481).
+
+    Floor semantics: random weights never pass the quality gates, so every
+    chunk re-decodes through the FULL 6-rung temperature-fallback ladder —
+    real weights take the temp-0 rung almost always, so production
+    throughput sits well above this number."""
+    import os
+    import tempfile
+    from pathlib import Path
+
+    import numpy as np
+
+    from crispy_tpu.api.events import EventBus
+    from crispy_tpu.engine import transcription as tr
+    from crispy_tpu.io import wav as wavio
+    from crispy_tpu.models.registry import ModelManager
+
+    m = _ggml_model("tiny")
+    sr = 48000
+    seconds = minutes * 60
+    wav_path = Path(f"/tmp/crispy_bench_file_{minutes}min.wav")
+    if not wav_path.exists():
+        rng = np.random.default_rng(0)
+        t = np.arange(sr * seconds) / sr
+        sig = (0.3 * np.sin(2 * np.pi * 220 * t) * (0.6 + 0.4 * np.sin(2 * np.pi * 0.7 * t))
+               + 0.02 * rng.standard_normal(t.size))
+        wavio.write_wav(wav_path, np.clip(sig, -1, 1).astype(np.float32), sr)
+    old = os.environ.get("CRISPY_DATA_DIR")
+    data = Path(tempfile.mkdtemp(prefix="crispy_bench_data"))
+    os.environ["CRISPY_DATA_DIR"] = str(data)
+    try:
+        bus = EventBus()
+        mm = ModelManager(models_dir=data / "Models", bus=bus)
+
+        class _W(tr.EngineProtocol):
+            name = "whisper-tiny-bench"
+
+            def transcribe_batch(self, chunks, language="en"):
+                return m.transcribe_chunks_robust(np.atleast_2d(chunks),
+                                                  language=language)
+
+        tm = tr.TranscriptionManager(mm, bus=bus,
+                                     engine_loader=lambda mid, mgr: _W())
+        box = [None]
+
+        def step():
+            box[0] = tr.run_transcription(str(wav_path), tm,
+                                          "whisper-tiny-bench", batch_chunks=8)
+
+        dt = _timeit(step, lambda: len(box[0] or ""), reps=2, inner=1)
+        return seconds / dt
+    finally:
+        if old is None:
+            os.environ.pop("CRISPY_DATA_DIR", None)
+        else:
+            os.environ["CRISPY_DATA_DIR"] = old
+
+
 def main():
     denoise_x = bench_denoise()
     extra = {}
@@ -355,6 +420,7 @@ def main():
         ("resample_mix_tpu_x", bench_resample_mix_tpu),
         ("monitoring_frame_ms", bench_monitoring_frame),
         ("concurrent_denoise_asr_rtf", bench_concurrent),
+        ("transcribe_file_x_realtime", bench_transcribe_file),
         ("diarization_x_realtime", bench_diarization),
         ("denoise_mesh_x", bench_denoise_mesh),
     ):

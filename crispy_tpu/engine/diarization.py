@@ -205,19 +205,20 @@ def _connected(lap: np.ndarray) -> bool:
     return bool(seen.all())
 
 
-def nme_sc(embeddings: np.ndarray, max_speakers: int) -> np.ndarray:
+def nme_sc(embeddings: np.ndarray, max_speakers: int, mesh=None) -> np.ndarray:
     """Spectral clustering with automatic speaker count (NME criterion).
 
     Dispatches to the device implementation (`nme_device.nme_sc_device`:
     one jitted program — batched eigvalsh p-sweep, matmul reachability,
     on-device k-means) unless CRISPY_NME=host opts out; the host-numpy
-    oracle below is kept for parity tests and as the fallback."""
+    oracle below is kept for parity tests and as the fallback. With a
+    mesh the p-sweep (the O(p·n³) term) shards over the 'data' axis."""
     emb = np.asarray(embeddings, np.float32)
     if emb.shape[0] > 2 and os.environ.get("CRISPY_NME", "device") != "host":
         try:
             from . import nme_device
 
-            return nme_device.nme_sc_device(emb, max_speakers)
+            return nme_device.nme_sc_device(emb, max_speakers, mesh=mesh)
         except Exception as e:  # pragma: no cover - defensive fallback
             import logging
 
@@ -544,6 +545,7 @@ def diarize(
     merge_gap: float = 1.0,
     segmentation_fn: Callable = energy_vad_logits,
     embedding_fn: Callable = melstats_embedding,
+    mesh=None,
 ) -> List[SpeakerSegment]:
     """float32 mono 16 kHz → chronologically-labeled speaker segments."""
     if sample_rate != SAMPLE_RATE:
@@ -576,7 +578,8 @@ def diarize(
         chunks = chunk_segments(segments)
         embeddings = np.asarray(embedding_fn([c.samples for c in chunks]))
     n = len(chunks)
-    labels = np.zeros(n, np.int64) if n <= 2 else nme_sc(embeddings, max_speakers)
+    labels = (np.zeros(n, np.int64) if n <= 2
+              else nme_sc(embeddings, max_speakers, mesh=mesh))
 
     appearance: List[int] = []
     for lbl in labels:
@@ -598,6 +601,7 @@ def run_diarization(
     max_speakers: int = 4,
     merge_gap: float = 1.0,
     bus=None,
+    mesh=None,
 ) -> str:
     """Transcription hand-off: diarize + interleave with word segments.
 
@@ -642,5 +646,5 @@ def run_diarization(
             except Exception:
                 warn("embedding", e1)
     segs = diarize(audio_16k, sample_rate, max_speakers, merge_gap,
-                   segmentation_fn=seg_fn, embedding_fn=emb_fn)
+                   segmentation_fn=seg_fn, embedding_fn=emb_fn, mesh=mesh)
     return format_diarized_text(text_segments, segs)

@@ -72,11 +72,16 @@ def _p_cap(n: int) -> int:
 
 
 @functools.lru_cache(maxsize=32)
-def _build_core(N: int, P: int, KMAX: int, n_sq: int):
+def _build_core(N: int, P: int, KMAX: int, n_sq: int, mesh=None):
     """Jitted NME-SC core for bucketed shapes.
 
     N: padded point count; P: padded sweep length; KMAX: static center
     slots (≥ every runtime kmax); n_sq: reachability squaring count.
+    mesh: optional jax.sharding.Mesh — the p-sweep (the O(P·N³) term) is
+    embarrassingly parallel over p, so its batch axis shards over the
+    mesh's 'data' axis and each chip eigendecomposes P/ndev Laplacians;
+    everything after the sweep (one more eigh + k-means) is a single
+    small problem and stays replicated.
     """
     HI = jax.lax.Precision.HIGHEST
     S_SUB = max(16, KMAX + 2)
@@ -205,7 +210,14 @@ def _build_core(N: int, P: int, KMAX: int, n_sq: int):
             return ratio, k, _connected(a, valid)
 
         ps = jnp.arange(1, P + 1)
-        ratios, ks, conns = lax.map(sweep, ps, batch_size=_SWEEP_BATCH)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            ps = lax.with_sharding_constraint(
+                ps, NamedSharding(mesh, PartitionSpec("data")))
+            ratios, ks, conns = jax.vmap(sweep)(ps)
+        else:
+            ratios, ks, conns = lax.map(sweep, ps, batch_size=_SWEEP_BATCH)
 
         # dynamic sweep bound for the real n
         p_max = jnp.minimum(
@@ -250,8 +262,13 @@ def _build_core(N: int, P: int, KMAX: int, n_sq: int):
     return core
 
 
-def nme_sc_device(embeddings: np.ndarray, max_speakers: int) -> np.ndarray:
-    """Drop-in device replacement for `diarization.nme_sc` (n > 2)."""
+def nme_sc_device(embeddings: np.ndarray, max_speakers: int,
+                  mesh=None) -> np.ndarray:
+    """Drop-in device replacement for `diarization.nme_sc` (n > 2).
+
+    With a mesh the p-sweep shards over the 'data' axis (the sweep length
+    pads to a device multiple; extra p values are masked by the dynamic
+    p_max bound exactly like bucket padding already is)."""
     emb = np.asarray(embeddings, np.float32)
     n, d = emb.shape
     if n == 0:
@@ -266,8 +283,11 @@ def nme_sc_device(embeddings: np.ndarray, max_speakers: int) -> np.ndarray:
     KMAX = int(min(max(kmax, 1), N - 1))
     n_sq = int(np.ceil(np.log2(max(N, 2))))
 
+    if mesh is not None:
+        ndev = int(np.prod(mesh.devices.shape))
+        P = -(-P // ndev) * ndev
     emb_pad = np.zeros((N, Dp), np.float32)
     emb_pad[:n, :d] = emb
-    core = _build_core(N, P, KMAX, n_sq)
+    core = _build_core(N, P, KMAX, n_sq, mesh)
     labels = core(jnp.asarray(emb_pad), jnp.int32(n), jnp.int32(kmax))
     return np.asarray(labels)[:n].astype(np.int64)

@@ -618,7 +618,12 @@ def run_transcription(
         if sr != TARGET_SAMPLE_RATE:
             from ..dsp.resample import resample_poly
 
-            audio = resample_poly(audio, sr, TARGET_SAMPLE_RATE)
+            # 16-bit sources ship to the device as int16 PCM (exact — the
+            # decoded floats sit on the int16 grid): halves the upload,
+            # which dominates long-file resampling through the tunnel.
+            fmt = wavio.read_format(recording_path)
+            wire = "i16" if fmt is not None and fmt.bits_per_sample == 16 else "f32"
+            audio = resample_poly(audio, sr, TARGET_SAMPLE_RATE, wire=wire)
         total_out = audio.size
 
         # 30 s chunks, final partial chunk zero-padded (tail flush,
@@ -718,6 +723,7 @@ def run_transcription(
                     max_speakers=int(diarization.get("max_speakers", 4)),
                     merge_gap=float(diarization.get("merge_gap", 1.0)),
                     bus=bus,
+                    mesh=resolve_mesh(tm.mesh),
                 )
             except Exception as dz_err:
                 # diarization failure falls back to the plain transcript

@@ -121,3 +121,42 @@ def test_load_engine_resolves_auto_sentinel(data_root, tmp_path):
     assert m is not None and len(m.devices.flatten()) == 8
     assert resolve_mesh(None) is None
     assert resolve_mesh(m) is m
+
+
+def test_nme_sc_sharded_matches_unsharded():
+    """The device NME-SC p-sweep sharded over the mesh's 'data' axis (the
+    O(p·n³) eigendecomposition batch, one shard per chip) must reproduce
+    the single-device labels exactly — sweep padding to a device multiple
+    is masked by the dynamic p_max bound."""
+    from crispy_tpu.engine.nme_device import nme_sc_device
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((4, 24))
+    emb = np.concatenate(
+        [c + 0.04 * rng.standard_normal((9, 24)) for c in centers]
+    ).astype(np.float32)
+    base = nme_sc_device(emb, 8)
+    mesh = parallel.make_mesh(model_parallel=1)
+    sharded = nme_sc_device(emb, 8, mesh=mesh)
+    np.testing.assert_array_equal(base, sharded)
+    assert len(set(base.tolist())) >= 2  # a real multi-cluster problem
+
+
+def test_run_diarization_mesh_plumbed(data_root):
+    """diarize/nme_sc accept the mesh and still match the host oracle's
+    partition on the builtin stand-in path."""
+    from crispy_tpu.engine import diarization as dz
+
+    rng = np.random.default_rng(11)
+    sr = 16000
+    t = np.arange(sr * 4) / sr
+    a = np.concatenate([
+        (0.4 * np.sin(2 * np.pi * 200 * t[: sr * 2])).astype(np.float32),
+        np.zeros(sr // 2, np.float32),
+        (0.4 * np.sin(2 * np.pi * 1200 * t[: sr * 2])).astype(np.float32),
+    ])
+    mesh = parallel.make_mesh(model_parallel=1)
+    segs_m = dz.diarize(a, max_speakers=4, merge_gap=0.2, mesh=mesh)
+    segs_0 = dz.diarize(a, max_speakers=4, merge_gap=0.2)
+    assert [(s.start, s.end, s.speaker) for s in segs_m] == \
+        [(s.start, s.end, s.speaker) for s in segs_0]

@@ -98,9 +98,9 @@ class TestDeviceParity:
         calls = {}
         orig = nme_device.nme_sc_device
 
-        def spy(emb, k):
+        def spy(emb, k, mesh=None):
             calls["hit"] = True
-            return orig(emb, k)
+            return orig(emb, k, mesh=mesh)
 
         monkeypatch.setattr(nme_device, "nme_sc_device", spy)
         emb = cluster_emb(range(2), per=5)
