@@ -102,11 +102,13 @@ def _frames_from_flat(xp, F: int):
 
 
 @functools.lru_cache(maxsize=8)
-def _seg_margin_fn(W: int):
+def _seg_margin_fn(W: int, mesh=None):
     """[W*160000] int16 flat audio → [W, 589] energy-VAD margins (the
     class-1 logit; logits = [-m, m]). Mirrors
     `diarization.energy_vad_logits` exactly: 540-sample frame energies as
-    sums of two 270-sample blocks, -40 dBFS gate."""
+    sums of two 270-sample blocks, -40 dBFS gate. With a mesh the window
+    axis shards over 'data' (each chip scans its own stretch of the
+    recording; the flat audio is replicated)."""
     import jax
     import jax.numpy as jnp
 
@@ -119,6 +121,11 @@ def _seg_margin_fn(W: int):
     def f(x16):
         x = x16.astype(jnp.float32) * (1.0 / 32768.0)
         w = x.reshape(W, WINDOW_SAMPLES)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            w = jax.lax.with_sharding_constraint(
+                w, NamedSharding(mesh, PartitionSpec("data", None)))
         sq = jnp.square(w[:, start: start + n_blocks * dz.FRAME_STEP])
         blocks = jnp.sum(sq.reshape(W, n_blocks, dz.FRAME_STEP), axis=2)
         sums = blocks[:, :-1] + blocks[:, 1:]
@@ -129,7 +136,7 @@ def _seg_margin_fn(W: int):
 
 
 @functools.lru_cache(maxsize=8)
-def _mel_stats_fn(F_total: int, NP: int):
+def _mel_stats_fn(F_total: int, NP: int, mesh=None):
     """(flat int16 audio, frame→chunk ids) → [NP, 160] mel mean/std stats.
 
     Per-chunk semantics of `diarization.melstats_embedding` reproduced
@@ -144,6 +151,14 @@ def _mel_stats_fn(F_total: int, NP: int):
         x = x16.astype(jnp.float32) * (1.0 / 32768.0)
         xp = jnp.pad(x, (N_FFT // 2, N_FFT // 2), mode="reflect")
         frames = _frames_from_flat(xp, F_total)  # [F, 400]
+        if mesh is not None:
+            # frame axis over 'data': the mel DFT matmuls (the stage cost)
+            # run on local frame shards; the segment reductions that
+            # follow gather across chips (tiny [ns, 160] outputs).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            frames = jax.lax.with_sharding_constraint(
+                frames, NamedSharding(mesh, PartitionSpec("data", None)))
         fwd_re, fwd_im, fb, window = meldsp._tables(80)
         if jax.default_backend() == "tpu":
             sr_ = frames @ fwd_re
@@ -173,14 +188,14 @@ def _mel_stats_fn(F_total: int, NP: int):
     return f
 
 
-def segmentation_margins(dev_audio, pad_to: int) -> np.ndarray:
+def segmentation_margins(dev_audio, pad_to: int, mesh=None) -> np.ndarray:
     """Device energy-VAD margins for the padded flat int16 audio."""
     W = pad_to // WINDOW_SAMPLES
-    return np.asarray(_seg_margin_fn(W)(dev_audio))
+    return np.asarray(_seg_margin_fn(W, mesh)(dev_audio))
 
 
 def chunk_stats(dev_audio, pad_to: int,
-                ranges: List[Tuple[int, int]]) -> np.ndarray:
+                ranges: List[Tuple[int, int]], mesh=None) -> np.ndarray:
     """Per-chunk mel statistics from the SAME device audio array.
 
     ranges: [(sample_start, sample_end)] per chunk, non-overlapping,
@@ -197,5 +212,5 @@ def chunk_stats(dev_audio, pad_to: int,
         g0 = int(round(a / HOP))
         cnt = max(1, (b - a) // HOP)
         ids[g0: g0 + cnt] = i
-    stats = _mel_stats_fn(F_total, NP)(dev_audio, jnp.asarray(ids))
+    stats = _mel_stats_fn(F_total, NP, mesh)(dev_audio, jnp.asarray(ids))
     return np.asarray(stats)[:n_chunks].astype(np.float32)

@@ -506,7 +506,7 @@ FUSED_MIN_SAMPLES = SAMPLE_RATE * 120  # below this, host latency wins
 
 
 def _diarize_fused_frontend(
-    audio: np.ndarray, merge_gap: float
+    audio: np.ndarray, merge_gap: float, mesh=None
 ) -> Tuple[List[VadSegment], List[VadSegment], np.ndarray]:
     """One-upload device frontend for the builtin stand-in nets: energy-VAD
     margins and per-chunk mel statistics both computed from a single
@@ -519,10 +519,16 @@ def _diarize_fused_frontend(
     n = audio.shape[0]
     pad_to = dd.pad_length(n)
     with dd.QUANT_LOCK:
-        dev = jax.device_put(dd.quantize_i16(audio, pad_to))
+        q = dd.quantize_i16(audio, pad_to)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            dev = jax.device_put(q, NamedSharding(mesh, PartitionSpec()))
+        else:
+            dev = jax.device_put(q)
         # margins force the upload; the shared quantize scratch is free to
         # reuse once the fetch returns
-        margin = dd.segmentation_margins(dev, pad_to)  # [W, 589]
+        margin = dd.segmentation_margins(dev, pad_to, mesh)  # [W, 589]
     logits = np.stack([-margin, margin], axis=-1)
     merged = _runs_from_logits(logits, n, merge_gap)
     segments = _segments_from_runs(merged, audio)
@@ -530,7 +536,7 @@ def _diarize_fused_frontend(
         return [], [], np.zeros((0, 160), np.float32)
     chunks = chunk_segments(segments)
     ranges = [(c.offset, c.offset + len(c.samples)) for c in chunks]
-    embeddings = dd.chunk_stats(dev, pad_to, ranges)
+    embeddings = dd.chunk_stats(dev, pad_to, ranges, mesh)
     return segments, chunks, embeddings
 
 
@@ -561,7 +567,7 @@ def diarize(
         and os.environ.get("CRISPY_DIAR_FUSED", "on") != "off"
     ):
         try:
-            fused = _diarize_fused_frontend(audio, merge_gap)
+            fused = _diarize_fused_frontend(audio, merge_gap, mesh)
         except Exception as e:  # pragma: no cover - defensive fallback
             import logging
 

@@ -160,3 +160,53 @@ def test_run_diarization_mesh_plumbed(data_root):
     segs_0 = dz.diarize(a, max_speakers=4, merge_gap=0.2)
     assert [(s.start, s.end, s.speaker) for s in segs_m] == \
         [(s.start, s.end, s.speaker) for s in segs_0]
+
+
+def test_fused_diar_frontend_sharded(data_root):
+    """Fused one-upload diarization frontend over the mesh: window-sharded
+    energy-VAD margins are bit-exact vs single-device; frame-sharded mel
+    statistics agree to f32 reduction-reorder tolerance (well inside the
+    fused-vs-host ~1% envelope the frontend already documents)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from crispy_tpu.engine import diar_device as dd
+    from crispy_tpu.engine import diarization as dz
+
+    rng = np.random.default_rng(3)
+    sr = 16000
+    pieces = []
+    for i in range(24):  # ≥120 s so the fused path engages for diarize()
+        t = np.arange(sr * 4) / sr
+        f = [200.0, 1200.0][i % 2]
+        tone = 0.4 * np.sin(2 * np.pi * f * t) + 0.01 * rng.standard_normal(t.size)
+        pieces += [tone.astype(np.float32), np.zeros(sr, np.float32)]
+    audio = np.concatenate(pieces)
+    mesh = parallel.make_mesh(model_parallel=1)
+
+    n = audio.shape[0]
+    pad_to = dd.pad_length(n)
+    q = dd.quantize_i16(audio, pad_to).copy()
+    dev0 = jax.device_put(q)
+    devm = jax.device_put(q, NamedSharding(mesh, PartitionSpec()))
+
+    m0 = dd.segmentation_margins(dev0, pad_to)
+    mm = dd.segmentation_margins(devm, pad_to, mesh)
+    np.testing.assert_array_equal(m0, mm)
+
+    logits = np.stack([-m0, m0], axis=-1)
+    merged = dz._runs_from_logits(logits, n, 0.5)
+    segments = dz._segments_from_runs(merged, audio)
+    chunks = dz.chunk_segments(segments)
+    ranges = [(c.offset, c.offset + len(c.samples)) for c in chunks]
+    e0 = dd.chunk_stats(dev0, pad_to, ranges)
+    em = dd.chunk_stats(devm, pad_to, ranges, mesh)
+    assert np.abs(e0 - em).max() < 5e-4
+
+    # identical embeddings → identical labels through the sharded sweep
+    np.testing.assert_array_equal(dz.nme_sc(e0, 4), dz.nme_sc(e0, 4, mesh=mesh))
+
+    # and the full sharded product call completes with a sane result
+    segs = dz.diarize(audio, max_speakers=4, merge_gap=0.5, mesh=mesh)
+    assert len(segs) > 10
+    assert 1 <= len({s.speaker for s in segs}) <= 4
