@@ -279,25 +279,10 @@ def bench_diarization(minutes=60):
     compiles are bounded (the embedding path buckets by exact length).
     Reference: the serial per-window/per-chunk ORT + host nalgebra
     eigendecomposition loop (managers/diarization.rs:77-611)."""
-    import numpy as np
-
     from crispy_tpu.engine import diarization as dz
+    from crispy_tpu.utils.synth import synth_speaker_hour
 
-    sr = 16000
-    target = minutes * 60 * sr
-    durs = [2.0, 3.0, 4.0, 6.0, 8.0]
-    freqs = [150.0, 450.0, 1200.0]  # 3 "speakers" by spectral envelope
-    pieces, total, i = [], 0, 0
-    gap = np.zeros(int(0.8 * sr), np.float32)
-    while total < target:
-        d = durs[i % len(durs)]
-        f = freqs[i % len(freqs)]
-        t = np.arange(int(d * sr)) / sr
-        am = 1.0 + 0.3 * np.sin(2 * np.pi * (2 + (i % 3)) * t)
-        pieces += [(0.4 * np.sin(2 * np.pi * f * t) * am).astype(np.float32), gap]
-        total += t.size + gap.size
-        i += 1
-    audio = np.concatenate(pieces)[:target]
+    audio = synth_speaker_hour(minutes)  # 3 "speakers" by spectral envelope
     box = [None]
 
     def step():

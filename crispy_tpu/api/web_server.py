@@ -7,6 +7,7 @@ protocol. Here the same three channels are HTTP on loopback:
   GET  /                 the main window (webui/index.html)
   GET  /tray             the tray-popup window (webui/tray.html)
   GET  /result?path=...  the transcription-result window (webui/result.html)
+  GET  /shared.js        helpers shared by every window (api/esc/grammar)
   POST /api/<command>    invoke: JSON body = kwargs, JSON reply
   GET  /events           listen: Server-Sent Events bridge of the bus
   GET  /stream?path=...  stream://: Range-capable WAV serving (206)
@@ -128,6 +129,8 @@ class _Handler(BaseHTTPRequestHandler):
             return self._static("tray.html", "text/html; charset=utf-8")
         if route == "/result":
             return self._static("result.html", "text/html; charset=utf-8")
+        if route == "/shared.js":
+            return self._static("shared.js", "application/javascript; charset=utf-8")
         if route == "/events":
             return self._sse()
         if route == "/stream":

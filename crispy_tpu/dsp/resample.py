@@ -237,10 +237,17 @@ def resample_poly(
     # compile (tens of seconds through a tunneled compiler). Trailing
     # zero-pad is exact — the windows for the first ceil(n·up/down)
     # outputs only ever see those zeros where the unpadded conv saw its
-    # own zero edge — so pad to the next power of two and slice.
+    # own zero edge. Powers of two below 2^22 samples; multiples of 2^22
+    # above (pow-2 padding on an hour-long file would upload up to ~2x
+    # the bytes — at ~87 s per step the pad stays under ~2.5% while the
+    # compile count stays bounded, and the persistent XLA cache amortizes
+    # each size across runs).
     n = x.size
     nout = int(np.ceil(n * up / down))
-    bucket = max(1 << 14, 1 << (n - 1).bit_length())
+    if n > (1 << 22):
+        bucket = -(-n // (1 << 22)) * (1 << 22)
+    else:
+        bucket = max(1 << 14, 1 << (n - 1).bit_length())
     fn = _cached_resampler_jax(int(from_rate), int(to_rate), bucket)
     xp = np.pad(x, (0, bucket - n)) if bucket != n else x
     if wire == "i16":

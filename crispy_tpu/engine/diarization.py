@@ -219,6 +219,8 @@ def nme_sc(embeddings: np.ndarray, max_speakers: int, mesh=None) -> np.ndarray:
             from . import nme_device
 
             return nme_device.nme_sc_device(emb, max_speakers, mesh=mesh)
+        except (TypeError, AttributeError, NameError):
+            raise  # programming errors must fail loudly, not demote to host
         except Exception as e:  # pragma: no cover - defensive fallback
             import logging
 
@@ -568,6 +570,8 @@ def diarize(
     ):
         try:
             fused = _diarize_fused_frontend(audio, merge_gap, mesh)
+        except (TypeError, AttributeError, NameError):
+            raise  # programming errors must fail loudly, not demote to host
         except Exception as e:  # pragma: no cover - defensive fallback
             import logging
 

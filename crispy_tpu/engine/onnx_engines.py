@@ -222,6 +222,11 @@ def _energy_quantile_times(row_16k: np.ndarray, dur: float, n_tokens: int,
     # floor at rel² of peak so silence inside the span still advances time
     e = np.maximum(e, (rel ** 2) * e.max())
     cum = np.concatenate([[0.0], np.cumsum(e)])
+    if e.size == 0 or cum[-1] <= 0.0:
+        # digitally-silent chunk (hallucinated tokens over zeros): no
+        # energy mass to align to — spread uniformly over the span
+        # instead of dividing by zero into NaN times
+        return [t0 + (t1 - t0) * i / n_tokens for i in range(n_tokens)]
     cum /= cum[-1]
     targets = (np.arange(n_tokens) + 0.5) / n_tokens
     # frame where the cumulative mass crosses the target, interpolated

@@ -24,13 +24,27 @@ UPDATE_COMMAND = f"pip install --upgrade {PACKAGE}"
 
 
 def _version_key(v: str) -> Tuple:
-    """Order-comparable key for PEP-440-ish versions; unparseable parts
-    compare as strings after every numeric part (good enough to order
-    releases; exotic pre-release tags just compare lexically)."""
-    parts: list = []
-    for tok in v.replace("-", ".").split("."):
-        parts.append((0, int(tok)) if tok.isdigit() else (1, tok))
-    return tuple(parts)
+    """Order-comparable key for PEP-440-ish versions.
+
+    dev < alpha < beta < rc < final < post (PEP 440: a user on 0.2.0rc1
+    must see the final 0.2.0 as an update, not as older); the numeric
+    release pads so 0.2 == 0.2.0; unknown suffixes compare lexically
+    just below the final release."""
+    import re
+
+    s = v.lower().lstrip("v").replace("-", ".").replace("_", ".")
+    m = re.match(r"\d+(?:\.\d+)*", s)
+    nums = [int(x) for x in m.group(0).split(".")] if m else []
+    release = tuple(nums + [0] * (8 - len(nums)))
+    rest = (s[m.end():] if m else s).lstrip(".")
+    if not rest:
+        return (release, (3,))
+    pm = re.match(r"(dev|alpha|beta|preview|pre|rc|post|a|b|c)\.?(\d*)", rest)
+    if pm:
+        rank = {"dev": -3, "a": -2, "alpha": -2, "b": -1, "beta": -1,
+                "rc": 0, "c": 0, "pre": 0, "preview": 0, "post": 4}[pm.group(1)]
+        return (release, (rank, int(pm.group(2) or 0)))
+    return (release, (2, rest))
 
 
 def current_version() -> str:

@@ -50,7 +50,7 @@ def test_fused_engages_above_threshold(audio, monkeypatch):
     called = {}
     real = dz._diarize_fused_frontend
 
-    def spy(a, g):
+    def spy(a, g, mesh=None):
         called["yes"] = True
         return real(a, g)
 
@@ -140,7 +140,7 @@ def test_fused_env_optout(audio, monkeypatch):
     called = {}
     monkeypatch.setattr(
         dz, "_diarize_fused_frontend",
-        lambda a, g: called.setdefault("yes", True))
+        lambda a, g, mesh=None: called.setdefault("yes", True))
     dz.diarize(audio, max_speakers=4, merge_gap=1.0)
     assert not called
 

@@ -32,24 +32,13 @@ SR = 16000
 
 def synth_hour_wav(path):
     """Two alternating 'speakers' (AM tones at distinct envelopes) with
-    0.8 s pauses, one hour total, 16 kHz mono."""
-    rng = np.random.default_rng(0)
-    target = MINUTES * 60 * SR
-    gap = np.zeros(int(0.8 * SR), np.float32)
-    pieces, total, i = [], 0, 0
-    durs = [3.0, 5.0, 4.0, 8.0]
-    freqs = [160.0, 1100.0]
-    while total < target:
-        d = durs[i % len(durs)]
-        f = freqs[i % len(freqs)]
-        t = np.arange(int(d * SR)) / SR
-        am = 1.0 + 0.3 * np.sin(2 * np.pi * (2 + (i % 3)) * t)
-        tone = 0.35 * np.sin(2 * np.pi * f * t) * am
-        tone += 0.01 * rng.standard_normal(t.size)
-        pieces += [tone.astype(np.float32), gap]
-        total += t.size + gap.size
-        i += 1
-    audio = np.concatenate(pieces)[:target]
+    0.8 s pauses, one hour total, 16 kHz mono — the shared fixture
+    generator with this test's own speaker/noise parameters."""
+    from crispy_tpu.utils.synth import synth_speaker_hour
+
+    audio = synth_speaker_hour(
+        MINUTES, SR, durs=(3.0, 5.0, 4.0, 8.0), freqs=(160.0, 1100.0),
+        level=0.35, noise=0.01)
     wavio.write_wav(path, audio[:, None], SR)
     return path
 

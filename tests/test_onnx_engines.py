@@ -522,6 +522,9 @@ def test_energy_quantile_times_degenerate_inputs():
     from crispy_tpu.engine.onnx_engines import _energy_quantile_times
 
     assert _energy_quantile_times(np.zeros(100, np.float32), 1.0, 0) == []
-    # silence: falls back to uniform over the whole chunk, still monotone
+    # digital silence: must fall back to a uniform FINITE spread — the
+    # zero-mass cumulative used to divide to NaN (list == sorted(list)
+    # can't catch that: identical NaN objects compare equal by identity)
     t = _energy_quantile_times(np.zeros(16000, np.float32), 1.0, 4)
-    assert len(t) == 4 and t == sorted(t)
+    assert len(t) == 4 and all(np.isfinite(t)) and t == sorted(t)
+    assert all(0.0 <= x <= 1.0 for x in t)

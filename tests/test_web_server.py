@@ -45,7 +45,10 @@ def test_static_page_and_api_dispatch(served):
     app, srv = served
     with _get(srv, "/") as r:
         page = r.read().decode()
-    assert "Crispy" in page and "/events" in page and "/api/" in page
+    assert "Crispy" in page and "/events" in page and "/shared.js" in page
+    with _get(srv, "/shared.js") as r:
+        shared = r.read().decode()
+    assert "/api/" in shared  # the invoke shim lives in the shared helpers
 
     models = _api(srv, "get_available_models")
     assert isinstance(models, list) and len(models) >= 13
@@ -206,7 +209,9 @@ def test_window_router_pages(served):
         res = r.read().decode()
     assert "get_transcription_result" in res
     assert "stream_transcription_chat" in res
-    assert "Speaker" in res  # the [Speaker N|t] parser grammar
+    with _get(srv, "/shared.js") as r:
+        shared = r.read().decode()
+    assert "Speaker" in shared  # the [Speaker N|t] parser grammar (one copy)
 
 
 def test_window_state_commands(served):

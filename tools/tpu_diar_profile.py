@@ -12,20 +12,9 @@ from crispy_tpu.engine import diarization as dz
 
 
 def synth_hour(minutes=60, sr=16000):
-    target = minutes * 60 * sr
-    durs = [2.0, 3.0, 4.0, 6.0, 8.0]
-    freqs = [150.0, 450.0, 1200.0]
-    pieces, total, i = [], 0, 0
-    gap = np.zeros(int(0.8 * sr), np.float32)
-    while total < target:
-        d = durs[i % len(durs)]
-        f = freqs[i % len(freqs)]
-        t = np.arange(int(d * sr)) / sr
-        am = 1.0 + 0.3 * np.sin(2 * np.pi * (2 + (i % 3)) * t)
-        pieces += [(0.4 * np.sin(2 * np.pi * f * t) * am).astype(np.float32), gap]
-        total += t.size + gap.size
-        i += 1
-    return np.concatenate(pieces)[:target]
+    from crispy_tpu.utils.synth import synth_speaker_hour
+
+    return synth_speaker_hour(minutes, sr)  # the bench's exact fixture
 
 
 def main():
