@@ -240,7 +240,14 @@ def train_model(
         v_loss = jnp.sum(batch["mask"] * v_loss) / jnp.maximum(jnp.sum(batch["mask"]), 1.0)
         return g_loss + 0.5 * v_loss
 
-    opt = optax.adam(learning_rate)
+    # warmup + cosine decay: at the short default runs this is ≈ constant
+    # LR (decay barely bites); at long retrains the annealed tail settles
+    # the quantization-sensitive gains layer instead of bouncing at 1e-3
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=learning_rate * 0.1, peak_value=learning_rate,
+        warmup_steps=max(steps // 50, 1), decay_steps=steps,
+        end_value=learning_rate * 0.05)
+    opt = optax.adam(sched)
     # small random init (NOT the test model: train from scratch)
     tparams = {}
     init_rng = np.random.default_rng(seed + 1)

@@ -146,3 +146,20 @@ def test_downsample_antialias_stopband():
     droop = 20 * np.log10(
         np.sqrt((y6[200:-200] ** 2).mean()) / np.sqrt((x6 ** 2).mean()))
     assert droop > -0.5, f"passband droop {droop:.2f} dB"
+
+
+def test_resample_poly_bucketed_lengths_exact():
+    """The jax path pads input lengths to bucketed compiled shapes;
+    trailing zero-pad must be exact: outputs equal the host (scipy) path
+    at bucket boundaries and just past them."""
+    import numpy as np
+
+    from crispy_tpu.dsp.resample import resample_poly
+
+    rng = np.random.default_rng(2)
+    for n in [(1 << 14) - 3, (1 << 14), (1 << 14) + 1, 50_001]:
+        x = (rng.standard_normal(n) * 0.3).astype(np.float32)
+        a = resample_poly(x, 48000, 16000, use_jax=True)
+        b = resample_poly(x, 48000, 16000, use_jax=False)
+        assert a.size == b.size, n
+        np.testing.assert_allclose(a, b, atol=5e-6, err_msg=str(n))

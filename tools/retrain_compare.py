@@ -7,6 +7,9 @@ richer noise families).
     python tools/retrain_compare.py --steps 4000
 """
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 import argparse
 import sys
 import time

@@ -11,6 +11,9 @@ overhead is already hidden by async pipelining, and the 4x working set
 (windows/spectra tensors) costs more in HBM traffic than it saves.
 """
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 import argparse
 import sys
 from pathlib import Path

@@ -4,6 +4,9 @@ Reproduces bench.bench_diarization()'s synthetic hour and times each stage
 of crispy_tpu.engine.diarization.diarize separately (segmentation, chunking,
 embeddings, clustering, merge) so perf work targets the real hot spot.
 """
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 import time
 
 import numpy as np

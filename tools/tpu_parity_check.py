@@ -6,6 +6,9 @@ TPU-only branches (matmul DFT, Pallas window gather, one-hot tansig) are
 validated here on the real chip. Run: python tools/tpu_parity_check.py
 """
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 import numpy as np
 
 

@@ -5,6 +5,9 @@ Replicates the function's internal tensor flow with each piece as its
 own jitted scalar-reduced fn (same DCE discipline as tpu_stage_profile).
 """
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 import sys
 import time
 

@@ -15,6 +15,9 @@ Variants:
 Both must agree bit-exactly; prints ms each.
 """
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 import sys
 import time
 

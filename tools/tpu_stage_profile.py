@@ -9,6 +9,9 @@ RTT over `inner` iterations.
 Usage: python tools/tpu_stage_profile.py [S] [F]
 """
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 import sys
 import time
 

@@ -7,6 +7,9 @@ The result is int8-quantized into the reference's weight grid and validated
 by SNR improvement on held-out mixtures before saving.
 """
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 import argparse
 import sys
 import time
