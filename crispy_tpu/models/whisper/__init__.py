@@ -167,12 +167,18 @@ class WhisperModel:
         # initial_prompt prepends <|startofprev|> context)
         sot_index = jnp.int32(prompt_ids.index(tok.sot) if tok.sot in prompt_ids else 0)
         (mel, prompt), B = self._shard_batch(B, mel, prompt)
+        # Encode ONCE: every fallback rung shares the encoder output (the
+        # rungs differ only in sampling temperature), so retries cost a
+        # decoder pass, not an encoder+decoder pass.
+        from .model import encode_jit
+
+        enc = encode_jit(self.params, self.cfg, mel)
 
         results: List[Optional[str]] = [None] * B
         for t_i, temp in enumerate(temperatures):
             key = jax.random.PRNGKey(seed + t_i)
             tokens, lengths, lp_sum, ns_prob = sample_decode(
-                self.params, self.cfg, mel, prompt, jnp.float32(temp), key,
+                self.params, self.cfg, enc, prompt, jnp.float32(temp), key,
                 ns_id, sot_index, max_new=max_new, eot=tok.eot)
             tokens, lengths = np.asarray(tokens), np.asarray(lengths)
             lp_sum, ns_prob = np.asarray(lp_sum), np.asarray(ns_prob)

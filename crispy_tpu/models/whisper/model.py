@@ -264,6 +264,12 @@ def _decode_step(params, cfg: WhisperConfig, tok, pos, self_k, self_v, cross_k, 
     return jnp.einsum("btd,vd->btv", x, params["dec.emb"])[:, 0, :], self_k, self_v
 
 
+#: jitted encoder entry for callers that encode once and reuse the result
+#: across decode calls (e.g. the temperature-fallback ladder) — module-level
+#: so the compilation cache persists across calls.
+encode_jit = functools.partial(jax.jit, static_argnames=("cfg",))(encode)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new"))
 def greedy_decode(
     params,

@@ -29,6 +29,13 @@ def main():
                     default=Path("crispy_tpu/dsp/rnnoise/builtin_weights.npz"))
     ap.add_argument("--force", action="store_true",
                     help="save even if the new model does not win")
+    ap.add_argument("--corpus-streams", type=int, default=None,
+                    help="device-resident training from a fixed int16 pool "
+                    "of this many streams (the long-retrain path; see "
+                    "training.build_corpus)")
+    ap.add_argument("--steps-per-call", type=int, default=25,
+                    help="optimizer steps fused per device dispatch "
+                    "(corpus mode only)")
     args = ap.parse_args()
 
     from crispy_tpu.dsp.rnnoise import training
@@ -44,7 +51,9 @@ def main():
     model, losses = training.train_model(
         steps=args.steps, batch_streams=args.batch_streams,
         frames=args.frames, learning_rate=args.lr,
-        log_every=max(args.steps // 20, 1))
+        log_every=max(args.steps // 20, 1),
+        corpus_streams=args.corpus_streams,
+        steps_per_call=args.steps_per_call)
     print(f"trained in {time.time()-t0:.0f}s; final losses "
           f"{[round(l, 4) for l in losses[-5:]]}", flush=True)
 

@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", type=Path,
                     default=Path("crispy_tpu/dsp/rnnoise/builtin_weights.npz"))
+    ap.add_argument("--corpus-streams", type=int, default=None,
+                    help="device-resident training from a fixed int16 pool")
+    ap.add_argument("--steps-per-call", type=int, default=25)
     args = ap.parse_args()
 
     from crispy_tpu.dsp.rnnoise import training
@@ -34,6 +37,7 @@ def main():
     model, losses = training.train_model(
         steps=args.steps, batch_streams=args.batch_streams,
         frames=args.frames, learning_rate=args.lr, log_every=max(args.steps // 20, 1),
+        corpus_streams=args.corpus_streams, steps_per_call=args.steps_per_call,
     )
     print(f"trained in {time.time()-t0:.0f}s; loss curve: "
           f"{[round(l, 4) for l in losses]}")
