@@ -197,7 +197,11 @@ class NsState:
         self._proc = self._build(model_name, volume)
 
     def _build(self, name: str, volume: float):
-        if name == "rnnoise":
+        # the reference's shipped id is "rnnnoise" (triple n —
+        # commands/ns_models.rs:28, audio.rs:548); accept it and the
+        # canonical spelling so settings migrated from the desktop app
+        # don't silently degrade to the dummy passthrough
+        if name in ("rnnoise", "rnnnoise"):
             return RnnNoiseProcessor(self.input_rate, self.output_rate, volume,
                                      model=self._rnn_model)
         return LegacyProcessor(self.input_rate, self.output_rate, name, volume)

@@ -96,6 +96,15 @@ def test_ns_state_hot_swap_and_volume():
     assert st.produced_rate_hz == 48000.0
 
 
+def test_ns_state_accepts_reference_rnnnoise_id():
+    # the desktop app's shipped id is "rnnnoise" (triple n —
+    # commands/ns_models.rs:28, audio.rs:548); it must select the real
+    # denoiser, not silently degrade to the dummy passthrough
+    st = dn.NsState("rnnnoise", 48000, 48000, volume=1.0,
+                    rnn_model=deterministic_test_model())
+    assert isinstance(st._proc, dn.RnnNoiseProcessor)
+
+
 def test_denoise_file_roundtrip(tmp_path):
     model = deterministic_test_model()
     audio = np.stack([speechlike(4 * FRAME, seed=3), speechlike(4 * FRAME, seed=4, f0=200.0)], axis=1)

@@ -44,8 +44,9 @@ def test_corpus_mode_training_steps():
 
 def test_corpus_mode_rounds_steps_up_to_whole_calls():
     # steps=3 with steps_per_call=2 must train 4 steps (no ragged tail
-    # recompile); the loss curve ends with the final call's mean
+    # recompile); the model name records the rounded step count
     model, losses = training.train_model(
         steps=3, batch_streams=2, frames=10,
         corpus_streams=4, steps_per_call=2, log_every=1)
+    assert model.name == "synthetic-4steps-corpus"
     assert len(losses) >= 1
