@@ -54,8 +54,13 @@ class CrispyApp:
         self.selected_model = reg_mod.SelectedModelState(bus=self.bus)
         self.transcription_manager = tr_mod.TranscriptionManager(
             self.model_manager, bus=self.bus, mesh=mesh)
-        self.monitoring = mon_mod.MonitoringEngine(bus=self.bus)
         self.recording_state = rec_mod.RecordingState()
+        # Monitoring feeds the recording mic ring (the reference's
+        # push_mono_to_buffers, audio.rs:682-730): recordings capture the
+        # denoised mic whenever monitoring runs; the ring's 10 s cap bounds
+        # it between recordings and do_start_recording clears it.
+        self.monitoring = mon_mod.MonitoringEngine(
+            bus=self.bus, mic_tap=self.recording_state.mic_ring.push)
         from .window import WindowManager
 
         self.windows = WindowManager(bus=self.bus)

@@ -104,6 +104,12 @@ class LegacyProcessor:
             out = out + self._rng.next_block(x.size) * 0.05
         return out.astype(np.float32)
 
+    @property
+    def output_block_rate_hz(self) -> float:
+        """True rate of push_block's return value (legacy models pass the
+        input through at its own rate)."""
+        return self.input_rate
+
     def next_sample(self) -> float:
         s = self._pull.next_sample_opt()
         if s is None:  # under-buffered: the reference returns 0.0 with no
@@ -183,6 +189,15 @@ class RnnNoiseProcessor:
     @property
     def produced_rate_hz(self) -> float:
         return self.input_rate
+
+    @property
+    def output_block_rate_hz(self) -> float:
+        """True rate of push_block's return value: NS always processes at
+        48 kHz (the input resampler feeds it). produced_rate_hz mirrors the
+        reference's field (audio.rs:355, "effective 48k when resampling is
+        enabled") and is only correct because monitoring forces 48 kHz
+        input configs; the recording tap needs the honest rate."""
+        return 48000.0
 
 
 class NsState:

@@ -81,10 +81,15 @@ class MonitoringEngine:
 
     def __init__(self, registry: Optional[DeviceRegistry] = None, bus: EventBus = BUS,
                  output_sink: Optional[Callable[[np.ndarray], None]] = None,
-                 block_samples: int = 480):
+                 block_samples: int = 480,
+                 mic_tap: Optional[Callable[[np.ndarray], None]] = None):
         self.registry = registry or DeviceRegistry()
         self.bus = bus
         self.output_sink = output_sink
+        # The recording feed (push_mono_to_buffers, audio.rs:682-730): the
+        # NS output, resampled to 48 kHz, goes to the recording mic ring
+        # whenever monitoring runs. Recordings capture the DENOISED mic.
+        self.mic_tap = mic_tap
         self.block_samples = block_samples
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
@@ -153,6 +158,17 @@ class MonitoringEngine:
                 lat_max_ms = max(lat_max_ms, (time.monotonic() - t0) * 1e3)
                 if out is not None and self.output_sink is not None:
                     self.output_sink(out)
+                if out is not None and self.mic_tap is not None:
+                    # recording feed at 48 kHz (push_mono_to_buffers): the
+                    # tap target (mic ring) is capped at 10 s, so this never
+                    # grows unbounded when no recording is active
+                    rate = getattr(proc, "output_block_rate_hz", 48000.0)
+                    tap = out
+                    if abs(rate - 48000.0) >= 1.0:
+                        from ..dsp.resample import resample_block
+
+                        tap = resample_block(tap, rate, 48000.0)
+                    self.mic_tap(tap)
                 now = time.monotonic()
                 if now - last_level >= LEVEL_EVENT_INTERVAL:
                     last_level = now

@@ -73,6 +73,25 @@ class TestAudioCommands:
         levels = [p for e, p in app.bus.history if e == "microphone-level"]
         assert levels and all(0 <= p["level"] <= 1.0 for p in levels)
 
+    def test_monitoring_feeds_recording_mic(self, app):
+        # push_mono_to_buffers parity (audio.rs:682-730): while monitoring
+        # runs, the denoised mic lands in the recording ring, so the
+        # product flow "monitor, then record" captures real mic audio.
+        app.monitoring.realtime = False
+        app.start_monitoring(model_name="dummy", volume=1.0)
+        path = app.start_recording("")
+        time.sleep(0.4)
+        out = app.stop_recording()
+        app.stop_monitoring()
+        assert out == path
+        from crispy_tpu.io import wav as wavio
+
+        audio, sr = wavio.read_wav(path)
+        assert sr == 48000 and audio.shape[0] > 0 and audio.shape[1] == 2
+        rms = float(np.sqrt(np.mean(audio[:, 0] ** 2)))
+        assert rms > 0.05  # the synthetic 440 Hz mic, not silence
+        assert wavio.get_wav_duration(path) > 0
+
     def test_system_input_volume(self, app):
         app.set_system_input_volume(0.4)
         assert app.get_system_input_volume() == pytest.approx(0.4)
