@@ -320,46 +320,57 @@ def train_model(
     losses = []
     if corpus_streams is not None:
         corpus = build_corpus(seed + 7919, corpus_streams, frames)
-        clean_pool = jnp.asarray(corpus["clean"])    # [P, L] int16, HBM
-        noise_pool = jnp.asarray(corpus["noise"])    # [P, L] int16, HBM
-        voiced_pool = jnp.asarray(corpus["voiced"])  # [P, F] f32
+        # pools go to the device ONCE and are then passed as ARGUMENTS to
+        # the jitted mega-step: closure-capturing them would embed ~GBs as
+        # HLO constants (the whole pool serialized into every compile
+        # request — OOM/broken-pipe through a remote compiler)
+        clean_pool = jax.device_put(corpus["clean"])    # [P, L] int16, HBM
+        noise_pool = jax.device_put(corpus["noise"])    # [P, L] int16, HBM
+        voiced_pool = jax.device_put(corpus["voiced"])  # [P, F] f32
 
-        def one_step(p, o, idx_c, idx_n, snr_db):
-            clean = jnp.take(clean_pool, idx_c, axis=0).astype(jnp.float32) / 32768.0
-            noise = jnp.take(noise_pool, idx_n, axis=0).astype(jnp.float32) / 32768.0
+        def one_step(pools, p, o, idx_c, idx_n, snr_db):
+            cp, np_, vp = pools
+            clean = jnp.take(cp, idx_c, axis=0).astype(jnp.float32) / 32768.0
+            noise = jnp.take(np_, idx_n, axis=0).astype(jnp.float32) / 32768.0
             c_rms = jnp.sqrt(jnp.mean(clean**2, axis=1, keepdims=True) + 1e-9)
             n_rms = jnp.sqrt(jnp.mean(noise**2, axis=1, keepdims=True) + 1e-9)
             noise = noise * (c_rms / n_rms) * 10.0 ** (-snr_db / 20.0)
             noisy = jnp.clip(clean + noise, -1.0, 1.0)
             feats, gains, mask = _batch_targets(pipe_params, clean, noisy)
             batch = {"features": feats, "gains": gains, "mask": mask,
-                     "vad": jnp.take(voiced_pool, idx_c, axis=0)}
+                     "vad": jnp.take(vp, idx_c, axis=0)}
             loss, grads = jax.value_and_grad(loss_fn)(p, batch)
             updates, o = opt.update(grads, o, p)
             return optax.apply_updates(p, updates), o, loss
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def mega(p, o, idx_c, idx_n, snr_db):
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def mega(pools, p, o, idx_c, idx_n, snr_db):
             def body(i, carry):
                 p, o, ls = carry
-                p, o, loss = one_step(p, o, idx_c[i], idx_n[i], snr_db[i])
+                p, o, loss = one_step(pools, p, o, idx_c[i], idx_n[i],
+                                      snr_db[i])
                 return p, o, ls.at[i].set(loss)
             n = idx_c.shape[0]
             return jax.lax.fori_loop(
                 0, n, body, (p, o, jnp.zeros(n, jnp.float32)))
 
         P = corpus_streams
+        pools = (clean_pool, noise_pool, voiced_pool)
         for call0 in range(0, steps, steps_per_call):
             idx_c = rng.integers(0, P, (steps_per_call, batch_streams))
             idx_n = rng.integers(0, P, (steps_per_call, batch_streams))
             snr = rng.uniform(-5, 25, (steps_per_call, batch_streams, 1)
                               ).astype(np.float32)
             tparams, opt_state, ls = mega(
-                tparams, opt_state, jnp.asarray(idx_c), jnp.asarray(idx_n),
-                jnp.asarray(snr))
+                pools, tparams, opt_state, jnp.asarray(idx_c),
+                jnp.asarray(idx_n), jnp.asarray(snr))
             if (call0 // steps_per_call) % max(log_every // steps_per_call, 1) == 0 \
                     or call0 + steps_per_call >= steps:
                 losses.append(float(np.asarray(ls).mean()))  # one sync/window
+                import os as _os
+                if _os.environ.get("CRISPY_TRAIN_VERBOSE"):
+                    print(f"step {call0 + steps_per_call}/{steps} "
+                          f"loss {losses[-1]:.4f}", flush=True)
         model = quantize_to_model(tparams, name=f"synthetic-{steps}steps-corpus")
         return model, losses
 
