@@ -54,36 +54,57 @@ def synth_batch(rng: np.random.Generator, S: int, F: int, sr: int = 48000):
 
 
 def _synth_clean(rng: np.random.Generator, S: int, F: int, sr: int = 48000):
-    """Voiced-harmonic clean streams + per-frame voicing labels."""
+    """Clean speech streams + per-frame speech-activity labels.
+
+    Speech is voiced harmonics PLUS unvoiced fricative-like segments
+    (band-limited 2-8 kHz noise bursts): a denoiser trained on harmonics
+    only learns "noise-like energy = suppress" and eats real fricatives.
+    Both kinds carry label 1 (the VAD target is speech activity, not
+    voicing); the gain targets come from the actual clean signal either
+    way. Matches the public RNNoise recipe's use of real (part-unvoiced)
+    speech.
+    """
+    from scipy.signal import fftconvolve, lfilter
+
     L = F * FRAME
     t = np.arange(L) / sr
     clean = np.zeros((S, L), np.float32)
     voiced = np.zeros((S, F), np.float32)
+    k = np.hanning(961)
+    k /= k.sum()
     for s in range(S):
         f0 = rng.uniform(70, 320)
         n_harm = rng.integers(4, 12)
         phases = rng.uniform(0, 2 * np.pi, n_harm)
-        sig = sum(
-            (rng.uniform(0.3, 1.0) / (k + 1)) * np.sin(2 * np.pi * f0 * (k + 1) * t + phases[k])
-            for k in range(n_harm)
+        sig_v = sum(
+            (rng.uniform(0.3, 1.0) / (k_ + 1)) * np.sin(2 * np.pi * f0 * (k_ + 1) * t + phases[k_])
+            for k_ in range(n_harm)
         )
-        # amplitude envelope with voiced/unvoiced stretches
-        env = np.zeros(F)
+        # fricative texture: 2-8 kHz resonator noise at harmonic-like RMS
+        f_c = float(rng.uniform(2000, 8000))
+        r = 1.0 - float(rng.uniform(0.05, 0.25))
+        th = 2 * np.pi * f_c / sr
+        sig_u = lfilter([1.0], [1.0, -2 * r * np.cos(th), r * r],
+                        rng.standard_normal(L))
+        sig_u *= np.sqrt(np.mean(sig_v**2) / np.maximum(np.mean(sig_u**2), 1e-12))
+        # amplitude envelope with voiced / unvoiced / silent stretches
+        env_v = np.zeros(F)
+        env_u = np.zeros(F)
         f = 0
         while f < F:
             seg = int(rng.integers(5, 40))
             on = rng.random() < 0.7
-            env[f: f + seg] = rng.uniform(0.2, 1.0) if on else 0.0
+            if on:
+                a = rng.uniform(0.2, 1.0)
+                if rng.random() < 0.3:  # unvoiced speech segment
+                    env_u[f: f + seg] = a
+                else:
+                    env_v[f: f + seg] = a
             f += seg
-        env_s = np.repeat(env, FRAME)[:L]
-        # smooth envelope edges
-        from scipy.signal import fftconvolve
-
-        k = np.hanning(961)
-        k /= k.sum()
-        env_s = fftconvolve(env_s, k, mode="same")
-        clean[s] = (0.3 * sig * env_s).astype(np.float32)
-        voiced[s] = (env > 0.05).astype(np.float32)
+        env_vs = fftconvolve(np.repeat(env_v, FRAME)[:L], k, mode="same")
+        env_us = fftconvolve(np.repeat(env_u, FRAME)[:L], k, mode="same")
+        clean[s] = (0.3 * (sig_v * env_vs + sig_u * env_us)).astype(np.float32)
+        voiced[s] = (env_v + env_u > 0.05).astype(np.float32)
     return clean, voiced
 
 
