@@ -201,7 +201,8 @@ class CrispyApp:
             self.model_manager.download_model(model_id)
         except Exception as e:
             self.bus.emit("model-state-changed",
-                          {"model_id": model_id, "state": "error", "error": str(e)})
+                          {"event_type": "error", "model_id": model_id,
+                           "model_name": None, "error": str(e)})
 
     def delete_model(self, model_id: str) -> bool:
         ok = self.model_manager.delete_model(model_id)
@@ -214,7 +215,9 @@ class CrispyApp:
         return ok
 
     def set_active_model(self, model_id: str) -> None:
-        self.selected_model.set(model_id)
+        info = self.model_manager.get_model_info(model_id)
+        self.selected_model.set(model_id,
+                                model_name=info["name"] if info else None)
         settings_mod.update_app_setting("selected_transcription_model", model_id,
                                         self._data_root)
 

@@ -62,7 +62,10 @@ class ModelStateTracker:
 
     # -- handlers ---------------------------------------------------------------
     def _on_state(self, payload) -> None:
-        state = payload.get("state") if isinstance(payload, dict) else None
+        # reference schema: {event_type, model_id, model_name, error}
+        # (commands/models.rs:8-13); "state" accepted as a legacy alias
+        state = (payload.get("event_type") or payload.get("state")
+                 ) if isinstance(payload, dict) else None
         mid = _model_id(payload)
         with self._lock:
             if state in ("loading", "loading_started"):
@@ -165,7 +168,7 @@ class ModelStateTracker:
             for mid, p in self.progress.items():
                 models[mid] = {
                     "downloaded": p.get("downloaded"), "total": p.get("total"),
-                    "percent": p.get("percent"),
+                    "percentage": p.get("percentage"),
                     "speed_mbps": round(self.stats.get(mid, {}).get("speed", 0.0), 3),
                     "extracting": False,
                 }

@@ -65,8 +65,9 @@ COMMANDS = [
 # Every event the backend emits (SURVEY §5 observability catalog).
 SSE_EVENTS = [
     "microphone-level", "stage-timing", "model-download-progress",
-    "model-extraction-started", "model-extraction-completed",
-    "model-extraction-failed", "model-state-changed",
+    "model-download-complete", "model-extraction-started",
+    "model-extraction-completed", "model-extraction-failed",
+    "model-state-changed",
     "transcription-status", "transcription-phase", "transcription-progress",
     "transcription-open", "transcription-chat-stream",
     "transcription-chat-done", "transcription-chat-error",

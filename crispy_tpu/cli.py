@@ -124,7 +124,7 @@ def _cmd_models(args) -> int:
         def show(_p):
             snap = tracker.snapshot()
             m = snap["models"].get(args.model_id, {})
-            pct = m.get("percent") or 0.0
+            pct = m.get("percentage") or 0.0
             print(f"\r[{snap['status']}] {pct:5.1f}%  {snap['total_speed_mbps']:.2f} MB/s",
                   end="", file=sys.stderr)
 

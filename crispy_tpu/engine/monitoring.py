@@ -173,7 +173,9 @@ class MonitoringEngine:
                 if now - last_level >= LEVEL_EVENT_INTERVAL:
                     last_level = now
                     rms = float(np.sqrt(np.mean(block.astype(np.float64) ** 2)))
-                    self.bus.emit("microphone-level", {"level": rms})
+                    # bare float: the reference's payload shape
+                    # (audio.rs:784 emits the raw RMS number)
+                    self.bus.emit("microphone-level", rms)
                 if now - last_latency >= 1.0:
                     # real-time-budget evidence (audio.rs:260-268: the frame
                     # must process inside its own duration)

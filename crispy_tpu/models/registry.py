@@ -172,7 +172,9 @@ class ModelManager:
             p.unlink()
         else:
             return False
-        self.bus.emit("model-state-changed", {"model_id": model_id, "state": "deleted"})
+        self.bus.emit("model-state-changed",
+                      {"event_type": "deleted", "model_id": model_id,
+                       "model_name": None, "error": None})
         return True
 
     # -- download ---------------------------------------------------------------
@@ -180,7 +182,7 @@ class ModelManager:
                        progress_every: float = 0.1) -> Path:
         """Blocking streaming download with Range resume + tar.gz extraction.
 
-        Events: model-download-progress {model_id, downloaded, total, percent},
+        Events: model-download-progress {model_id, downloaded, total, percentage},
         model-extraction-started/-completed/-failed, model-state-changed.
         Resume: existing `.partial` continues via Range; a 200 (full) response
         on resume restarts from zero (model.rs:462-547).
@@ -231,10 +233,12 @@ class ModelManager:
                         self.bus.emit("model-download-progress", {
                             "model_id": model_id, "downloaded": downloaded,
                             "total": total,
-                            "percent": 100.0 * downloaded / total if total else 0.0,
+                            "percentage": 100.0 * downloaded / total if total else 0.0,
                         })
         except DownloadCancelled:
-            self.bus.emit("model-state-changed", {"model_id": model_id, "state": "cancelled"})
+            self.bus.emit("model-state-changed",
+                          {"event_type": "cancelled", "model_id": model_id,
+                           "model_name": None, "error": None})
             raise
         finally:
             resp.close()
@@ -243,7 +247,8 @@ class ModelManager:
             raise IOError(f"size mismatch: got {downloaded}, expected {total}")
 
         if m.is_archive or dl_name.endswith(".tar.gz"):
-            self.bus.emit("model-extraction-started", {"model_id": model_id})
+            # bare id: the reference's payload shape (model.rs:620)
+            self.bus.emit("model-extraction-started", model_id)
             tmp = self.models_dir / (m.filename + ".extracting")
             try:
                 shutil.rmtree(tmp, ignore_errors=True)
@@ -269,11 +274,17 @@ class ModelManager:
                 self.bus.emit("model-extraction-failed",
                               {"model_id": model_id, "error": str(e)})
                 raise
-            self.bus.emit("model-extraction-completed", {"model_id": model_id})
+            # bare id: the reference's payload shape (model.rs:674)
+            self.bus.emit("model-extraction-completed", model_id)
         else:
             partial.replace(final)
 
-        self.bus.emit("model-state-changed", {"model_id": model_id, "state": "downloaded"})
+        # bare id, like the reference (model.rs:688); state-changed carries
+        # the richer object for this framework's own consumers
+        self.bus.emit("model-download-complete", model_id)
+        self.bus.emit("model-state-changed",
+                      {"event_type": "downloaded", "model_id": model_id,
+                       "model_name": None, "error": None})
         return final
 
 
@@ -285,10 +296,22 @@ class SelectedModelState:
         self._lock = threading.Lock()
         self.bus = bus
 
-    def set(self, model_id: Optional[str]) -> None:
+    def set(self, model_id: Optional[str], model_name: Optional[str] = None) -> None:
+        """Select a model, emitting the reference's ModelStateEvent shape
+        (commands/models.rs:8-13,55-117): {event_type, model_id, model_name,
+        error} with event_type unloaded | loading_started | loading_completed."""
         with self._lock:
-            self._id = model_id
-        self.bus.emit("model-state-changed", {"model_id": model_id, "state": "selected"})
+            self._id = None if model_id in (None, "none") else model_id
+            mid = self._id
+        if mid is None:
+            self.bus.emit("model-state-changed",
+                          {"event_type": "unloaded", "model_id": None,
+                           "model_name": None, "error": None})
+            return
+        for et in ("loading_started", "loading_completed"):
+            self.bus.emit("model-state-changed",
+                          {"event_type": et, "model_id": mid,
+                           "model_name": model_name, "error": None})
 
     def get(self) -> Optional[str]:
         with self._lock:

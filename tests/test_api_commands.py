@@ -71,7 +71,9 @@ class TestAudioCommands:
         app.stop_monitoring()
         assert not app.monitoring.active
         levels = [p for e, p in app.bus.history if e == "microphone-level"]
-        assert levels and all(0 <= p["level"] <= 1.0 for p in levels)
+        # bare RMS floats, the reference's payload shape (audio.rs:784)
+        assert levels and all(isinstance(p, float) and 0 <= p <= 1.0
+                              for p in levels)
 
     def test_monitoring_feeds_recording_mic(self, app):
         # push_mono_to_buffers parity (audio.rs:682-730): while monitoring
@@ -122,7 +124,7 @@ class TestModelCommands:
         t = app.download_model("diarize-segmentation")  # s3 URL: unreachable here
         t.join(timeout=30)
         states = [p for e, p in app.bus.history if e == "model-state-changed"]
-        assert any(p.get("state") == "error" for p in states)
+        assert any(p.get("event_type") == "error" for p in states)
 
 
 class TestTranscriptionCommands:

@@ -106,5 +106,5 @@ def test_monitoring_denoises_through_rnnoise(app):
     app.start_monitoring(model_name="dummy", volume=1.0)
     time.sleep(0.2)
     app.stop_monitoring()
-    levels = [p["level"] for e, p in app.bus.history if e == "microphone-level"]
+    levels = [p for e, p in app.bus.history if e == "microphone-level"]
     assert levels, "no level events emitted"

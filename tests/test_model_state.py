@@ -22,23 +22,23 @@ def test_download_speed_ema_smoothing():
     tr = ModelStateTracker(bus=bus, clock=clock)
     # first sample establishes the baseline, no speed yet
     bus.emit("model-download-progress",
-             {"model_id": "m", "downloaded": 0, "total": 100 << 20, "percent": 0.0})
+             {"model_id": "m", "downloaded": 0, "total": 100 << 20, "percentage": 0.0})
     assert tr.snapshot()["models"]["m"]["speed_mbps"] == 0.0
     # samples closer than 0.5 s are gated (frontend :159-161)
     clock.t += 0.3
     bus.emit("model-download-progress",
-             {"model_id": "m", "downloaded": 10 << 20, "total": 100 << 20, "percent": 10.0})
+             {"model_id": "m", "downloaded": 10 << 20, "total": 100 << 20, "percentage": 10.0})
     assert tr.snapshot()["models"]["m"]["speed_mbps"] == 0.0
     # 1 s later: 10 MB in 1.3 s ≈ 7.69 MB/s (first valid → unsmoothed)
     clock.t += 1.0
     bus.emit("model-download-progress",
-             {"model_id": "m", "downloaded": 10 << 20, "total": 100 << 20, "percent": 10.0})
+             {"model_id": "m", "downloaded": 10 << 20, "total": 100 << 20, "percentage": 10.0})
     s1 = tr.snapshot()["models"]["m"]["speed_mbps"]
     assert abs(s1 - 10 / 1.3) < 0.01
     # next second: 20 MB/s instantaneous → EMA 0.8*s1 + 0.2*20
     clock.t += 1.0
     bus.emit("model-download-progress",
-             {"model_id": "m", "downloaded": 30 << 20, "total": 100 << 20, "percent": 30.0})
+             {"model_id": "m", "downloaded": 30 << 20, "total": 100 << 20, "percentage": 30.0})
     s2 = tr.snapshot()["models"]["m"]["speed_mbps"]
     assert abs(s2 - (0.8 * s1 + 0.2 * 20.0)) < 0.01
     assert tr.snapshot()["status"] == "downloading"
@@ -49,7 +49,7 @@ def test_extraction_lifecycle_clears_download_state():
     bus = EventBus()
     tr = ModelStateTracker(bus=bus, clock=Clock())
     bus.emit("model-download-progress",
-             {"model_id": "m", "downloaded": 5, "total": 10, "percent": 50.0})
+             {"model_id": "m", "downloaded": 5, "total": 10, "percentage": 50.0})
     bus.emit("model-extraction-started", {"model_id": "m"})
     snap = tr.snapshot()
     assert snap["status"] == "extracting"
@@ -76,8 +76,8 @@ def test_error_event_clears_all_transient_state():
     bus = EventBus()
     tr = ModelStateTracker(bus=bus, clock=Clock())
     bus.emit("model-download-progress",
-             {"model_id": "m", "downloaded": 1, "total": 10, "percent": 10.0})
-    bus.emit("model-state-changed", {"model_id": "m", "state": "error",
+             {"model_id": "m", "downloaded": 1, "total": 10, "percentage": 10.0})
+    bus.emit("model-state-changed", {"event_type": "error", "model_id": "m",
                                      "error": "network gone"})
     snap = tr.snapshot()
     assert snap["status"] == "error" and snap["models"] == {}
@@ -86,10 +86,10 @@ def test_error_event_clears_all_transient_state():
 def test_selection_and_delete_flow():
     bus = EventBus()
     tr = ModelStateTracker(bus=bus, clock=Clock())
-    bus.emit("model-state-changed", {"model_id": "small", "state": "selected"})
+    bus.emit("model-state-changed", {"event_type": "loading_completed", "model_id": "small", "model_name": None, "error": None})
     assert tr.snapshot()["current_model_id"] == "small"
     assert tr.snapshot()["status"] == "ready"
-    bus.emit("model-state-changed", {"model_id": "small", "state": "deleted"})
+    bus.emit("model-state-changed", {"event_type": "deleted", "model_id": "small", "model_name": None, "error": None})
     assert tr.snapshot()["current_model_id"] == "none"
 
 
@@ -145,10 +145,10 @@ def test_complete_clears_only_that_model():
     for mid in ("a", "b"):
         bus.emit("model-download-progress",
                  {"model_id": mid, "downloaded": 1 << 20, "total": 4 << 20,
-                  "percent": 25.0})
+                  "percentage": 25.0})
     bus.emit("model-download-complete", {"model_id": "a"})
     snap = t.snapshot()
-    assert "b" in snap["models"] and snap["models"]["b"]["percent"] == 25.0
+    assert "b" in snap["models"] and snap["models"]["b"]["percentage"] == 25.0
     assert "a" not in snap["models"]
     assert snap["status"] == "downloading"
     bus.emit("model-download-complete", {"model_id": "b"})

@@ -98,7 +98,7 @@ class TestDownload:
         events = [e for e, _ in manager.bus.history]
         assert "model-download-progress" in events
         assert ("model-state-changed",
-                {"model_id": "small", "state": "downloaded"}) in manager.bus.history
+                {"event_type": "downloaded", "model_id": "small", "model_name": None, "error": None}) in manager.bus.history
 
     def test_resume_from_partial(self, served_dir, manager, monkeypatch):
         docroot, base = served_dir
@@ -138,7 +138,7 @@ class TestDownload:
             unlisten()
         assert not manager.is_downloaded("small")
         assert ("model-state-changed",
-                {"model_id": "small", "state": "cancelled"}) in manager.bus.history
+                {"event_type": "cancelled", "model_id": "small", "model_name": None, "error": None}) in manager.bus.history
 
     def test_stale_cancel_does_not_kill_next_download(self, served_dir, manager,
                                                       monkeypatch):
@@ -166,9 +166,16 @@ class TestDownload:
         out = manager.download_model("moonshine-base")
         assert (out / "encoder.onnx").read_bytes() == b"model-weights"
         assert manager.is_downloaded("moonshine-base")
-        events = [e for e, _ in manager.bus.history]
-        assert "model-extraction-started" in events
-        assert "model-extraction-completed" in events
+        events = dict((e, p) for e, p in manager.bus.history)
+        # reference payload shapes: bare ids for started/completed/complete
+        # (model.rs:620,674,688), {model_id, error} only for -failed
+        assert events["model-extraction-started"] == "moonshine-base"
+        assert events["model-extraction-completed"] == "moonshine-base"
+        assert events["model-download-complete"] == "moonshine-base"
+        prog = [p for e, p in manager.bus.history
+                if e == "model-download-progress"]
+        assert prog and set(prog[-1]) == {"model_id", "downloaded", "total",
+                                          "percentage"}
         assert not list(manager.models_dir.glob("*.partial"))
         assert not list(manager.models_dir.glob("*.extracting"))
 
@@ -202,7 +209,18 @@ class TestSelection:
         bus.keep_history = True
         st = reg.SelectedModelState(bus=bus)
         assert st.get() is None
-        st.set("small")
+        st.set("small", model_name="Whisper Small")
         assert st.get() == "small"
+        # reference flow (commands/models.rs:96-117): loading_started then
+        # loading_completed, ModelStateEvent field shape
         assert ("model-state-changed",
-                {"model_id": "small", "state": "selected"}) in bus.history
+                {"event_type": "loading_started", "model_id": "small",
+                 "model_name": "Whisper Small", "error": None}) in bus.history
+        assert ("model-state-changed",
+                {"event_type": "loading_completed", "model_id": "small",
+                 "model_name": "Whisper Small", "error": None}) in bus.history
+        st.set("none")
+        assert st.get() is None
+        assert ("model-state-changed",
+                {"event_type": "unloaded", "model_id": None,
+                 "model_name": None, "error": None}) in bus.history

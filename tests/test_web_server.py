@@ -148,11 +148,11 @@ def test_sse_bridge_delivers_bus_events(served):
     t = threading.Thread(target=reader, daemon=True)
     t.start()
     time.sleep(0.3)  # let the subscription land
-    app.bus.emit("microphone-level", {"level": 0.5})
+    app.bus.emit("microphone-level", 0.5)  # bare RMS, the reference shape
     app.bus.emit("transcription-progress",
                  {"recording_path": "/r.wav", "progress": 0.25, "eta_seconds": 9})
     t.join(timeout=10)
-    assert got.get("microphone-level") == {"level": 0.5}
+    assert got.get("microphone-level") == 0.5
     assert got.get("transcription-progress", {}).get("progress") == 0.25
 
 
@@ -175,7 +175,7 @@ def test_ui_page_contract_matches_server():
         assert ev in SSE_EVENTS, f"page listens to unbridged event {ev}"
     # payload fields the page reads off bus events must match the emitters
     assert '"level"' in page or "p.level" in page or ".level" in page
-    assert "p.downloaded" in page and "p.percent" in page
+    assert "p.downloaded" in page and "p.percentage" in page
     assert "p.recording_path" in page and "p.progress" in page
 
 
