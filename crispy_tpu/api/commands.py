@@ -123,7 +123,10 @@ class CrispyApp:
 
     # -- recording ---------------------------------------------------------------
     def get_recordable_apps(self) -> List[dict]:
-        return [{"id": a.id, "name": a.name} for a in rec_mod.get_recordable_apps()]
+        # reference RecordableApp shape: {id, name, bundle_id}
+        # (recording.rs:42-46)
+        return [{"id": a.id, "name": a.name, "bundle_id": a.bundle_id}
+                for a in rec_mod.get_recordable_apps()]
 
     def start_recording(self, app_id: str = "") -> str:
         # registered virtual app sources resolve by id (the bundle_id→PID
@@ -327,9 +330,12 @@ class CrispyApp:
         return convert_mod.check_ffmpeg()
 
     # -- permissions ---------------------------------------------------------------
-    def check_permissions(self) -> Dict[str, str]:
+    def check_permissions(self) -> Dict[str, object]:
         # Server processes own their audio sources: nothing to grant.
-        return {"microphone": "granted", "screen_capture": "granted"}
+        # Reference shape (permissions.rs:7-10): microphone is a status
+        # string, screen_recording a bool.
+        return {"microphone": "granted", "screen_recording": True}
 
-    def request_permission(self, permission: str) -> str:
-        return "granted"
+    def request_permission(self, permission: str) -> bool:
+        # bool, like the reference (permissions.rs:33)
+        return True

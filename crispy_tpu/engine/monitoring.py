@@ -62,8 +62,11 @@ class DeviceRegistry:
         return ["Default"]
 
     def get_default_devices(self) -> Dict[str, Optional[str]]:
+        # reference shape (audio.rs:407-409): {default_input,
+        # blackhole_output}; no BlackHole driver exists on a TPU host
         names = self.get_input_devices()
-        return {"input": names[0] if names else None, "output": "Default"}
+        return {"default_input": names[0] if names else None,
+                "blackhole_output": None}
 
     def resolve(self, name: str) -> InputDevice:
         if name in ("", "Default", None):
@@ -211,6 +214,7 @@ class MonitoringEngine:
         if self._ns is not None:
             self._ns.set_model(model_name)
 
-    def get_blackhole_status(self) -> Dict[str, bool]:
-        """No loopback drivers on a TPU host (audio.rs:1003-1034 analog)."""
-        return {"installed": False, "device_present": False}
+    def get_blackhole_status(self) -> Dict[str, object]:
+        """No loopback drivers on a TPU host (audio.rs:1003-1034 analog).
+        Reference shape (audio.rs:998-1001): {installed: bool, paths: [str]}."""
+        return {"installed": False, "paths": []}

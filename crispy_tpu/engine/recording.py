@@ -126,6 +126,8 @@ class FileSource(AudioSource):
 class RecordableApp:
     id: str
     name: str
+    bundle_id: str = ""  # reference shape (recording.rs:42-46); virtual
+    # sources use their registry id as the bundle id
 
 
 def detect_sample_rate(num_samples: int, duration_secs: Optional[float]) -> int:
@@ -322,9 +324,9 @@ def unregister_recordable_app(app_id: str) -> None:
 
 
 def get_recordable_apps() -> List[RecordableApp]:
-    apps = [RecordableApp(id=aid, name=name)
+    apps = [RecordableApp(id=aid, name=name, bundle_id=aid)
             for aid, (name, _f) in sorted(_RECORDABLE_SOURCES.items())]
-    return apps + [RecordableApp(id="", name="None (Mic only)")]
+    return apps + [RecordableApp(id="", name="None (Mic only)", bundle_id="")]
 
 
 def resolve_app_source(app_id: str) -> Optional[AudioSource]:

@@ -55,10 +55,10 @@ class TestAudioCommands:
     def test_devices(self, app):
         ins = app.get_input_devices()
         assert len(ins) >= 1
-        assert app.get_default_devices()["input"] == ins[0]
+        assert app.get_default_devices()["default_input"] == ins[0]
         assert app.get_output_devices() == ["Default"]
         assert app.get_platform() in ("macos", "windows", "linux")
-        assert app.get_blackhole_status() == {"installed": False, "device_present": False}
+        assert app.get_blackhole_status() == {"installed": False, "paths": []}
 
     def test_monitoring_lifecycle_and_level_events(self, app):
         app.monitoring.realtime = False
@@ -246,8 +246,12 @@ class TestConvert:
         assert out2 != out
 
     def test_permissions_always_granted(self, app):
-        assert app.check_permissions()["microphone"] == "granted"
-        assert app.request_permission("microphone") == "granted"
+        # reference shape (permissions.rs:7-10,33): microphone status
+        # string, screen_recording bool; request returns bool
+        perms = app.check_permissions()
+        assert perms["microphone"] == "granted"
+        assert perms["screen_recording"] is True
+        assert app.request_permission("microphone") is True
 
 
 def test_set_autostart_persists_setting(app):

@@ -107,7 +107,7 @@ class TestRecordableRegistry:
         rec.register_recordable_app("tone_1", "Tone", Tone)
         try:
             app = CrispyApp(bus=EventBus())
-            assert {"id": "tone_1", "name": "Tone"} in app.get_recordable_apps()
+            assert {"id": "tone_1", "name": "Tone", "bundle_id": "tone_1"} in app.get_recordable_apps()
             path = app.start_recording("tone_1")  # start clears the rings
             app.recording_state.mic_ring.push(np.full(48000, 0.25, np.float32))
             import time
