@@ -20,6 +20,9 @@ carries the remaining BASELINE configs measured in the same run:
   * diarization_x_realtime — subsystem D end-to-end: a synthetic
     multi-speaker hour through VAD segmentation, chunking, embeddings,
     device NME-SC clustering, and chronological merge.
+  * diarization_staged_x_realtime — subsystem D with the real staged
+    nets at real shapes (PyanNet segmentation + CAM++ embeddings,
+    init_random weights — egress-blocked, like whisper_base_rtf).
   * denoise_mesh_x — pre-wired multi-chip denoise (recorded automatically
     when >1 device is visible; absent on one chip).
 
@@ -292,6 +295,51 @@ def bench_diarization(minutes=60):
     return (minutes * 60) / dt
 
 
+def bench_diarization_staged(minutes=60):
+    """Subsystem D with the REAL staged networks at real architecture
+    shapes: PyanNet segmentation-3.0 forward over every 10 s window (D1)
+    and the CAM++ embedding net over every <=4 s chunk (D2), plus device
+    NME-SC (D3) and chronological merge (D4). Weights are init_random —
+    egress-blocked, the same caveat as whisper_base_rtf: the number is
+    honest for throughput, silent on output quality. Segment DECISIONS
+    ride the builtin energy-VAD structure (net logits enter at weight 0,
+    so every staged FLOP executes and stays in the data flow) so the
+    downstream chunk/cluster load matches a real 3-speaker hour instead
+    of whatever random logits decode to. Reference: the serial per-window
+    / per-chunk ORT loop (managers/diarization.rs:77-348)."""
+    import numpy as np
+
+    from crispy_tpu.engine import diarization as dz
+    from crispy_tpu.models import campplus, segmentation as segnet
+    from crispy_tpu.utils.synth import synth_speaker_hour
+
+    seg_model = segnet.SegmentationModel(segnet.init_random())
+    emb_model = campplus.CamPPlusModel(campplus.init_random())
+
+    def seg_fn(windows):
+        real = seg_model(windows)           # [W, F, 7] — full D1 cost
+        ev = dz.energy_vad_logits(windows)  # [W, F, 2] — decode structure
+        f = min(real.shape[1], ev.shape[1])
+        return ev[:, :f] + 0.0 * real[:, :f, :2]
+
+    def emb_fn(chunks):
+        real = np.asarray(emb_model(chunks))        # [N, E] — full D2 cost
+        stand = dz.melstats_embedding(chunks)       # [N, d] — structure
+        reps = -(-real.shape[1] // stand.shape[1])
+        tiled = np.tile(stand, (1, reps))[:, :real.shape[1]]
+        return tiled + 0.0 * real
+
+    audio = np.asarray(synth_speaker_hour(minutes), np.float32)
+    box = [None]
+
+    def step():
+        box[0] = dz.diarize(audio, max_speakers=8, merge_gap=1.0,
+                            segmentation_fn=seg_fn, embedding_fn=emb_fn)
+
+    dt = _timeit(step, lambda: len(box[0]), reps=2, inner=1)
+    return (minutes * 60) / dt
+
+
 def bench_concurrent(minutes=4):
     """Config 5: denoise @48 kHz + whisper-tiny ASR on the same audio."""
     import jax.numpy as jnp
@@ -407,6 +455,7 @@ def main():
         ("concurrent_denoise_asr_rtf", bench_concurrent),
         ("transcribe_file_x_realtime", bench_transcribe_file),
         ("diarization_x_realtime", bench_diarization),
+        ("diarization_staged_x_realtime", bench_diarization_staged),
         ("denoise_mesh_x", bench_denoise_mesh),
     ):
         try:
