@@ -167,19 +167,9 @@ class TestSubspaceSweep:
         lap[np.arange(N)[~valid], np.arange(N)[~valid]] = 3.0
 
         truth = np.linalg.eigvalsh(lap.astype(np.float64))[:10]
-        # replicate the core's _ritz arithmetic on this Laplacian
-        import jax
-
-        S_SUB = 16
-        V0 = jnp.asarray(np.random.default_rng(0)
-                         .standard_normal((N, S_SUB)).astype(np.float32))
-        M = 3.0 * jnp.eye(N) - jnp.asarray(lap)
-        with jax.default_matmul_precision("float32"):
-            V = V0
-            for _ in range(nme_device._SUBSPACE_ITERS):
-                V, _ = jnp.linalg.qr(jnp.matmul(M, V))
-            T = jnp.matmul(V.T, jnp.matmul(M, V))
-        lam = np.asarray(3.0 - jnp.linalg.eigvalsh(T)[::-1])[:10]
+        # the core's _ritz IS this module-level function
+        lam = np.asarray(nme_device.subspace_bottom(
+            jnp.asarray(lap), 16)[0])[:10]
         err = lam - truth
         assert err.min() > -1e-3  # Ritz values upper-bound the truth
         assert np.abs(err).max() < 5e-2
