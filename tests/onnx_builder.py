@@ -74,17 +74,17 @@ def graph_proto(
     initializers: Optional[Dict[str, np.ndarray]] = None,
     name: bytes = b"subgraph",
 ) -> SubGraph:
-    g = b""
-    for n in nodes:
-        g += _ld(1, n)
-    g += _ld(2, name)
+    # list+join, not bytes += : bench bundles carry hundreds of MB of
+    # initializers and quadratic concatenation would dominate
+    parts = [_ld(1, n) for n in nodes]
+    parts.append(_ld(2, name))
     for nm, arr in (initializers or {}).items():
-        g += _ld(5, tensor_proto(nm, arr))
+        parts.append(_ld(5, tensor_proto(nm, arr)))
     for nm, et, sh in inputs:
-        g += _ld(11, value_info(nm, et, sh))
+        parts.append(_ld(11, value_info(nm, et, sh)))
     for nm, et, sh in outputs:
-        g += _ld(12, value_info(nm, et, sh))
-    return SubGraph(g)
+        parts.append(_ld(12, value_info(nm, et, sh)))
+    return SubGraph(b"".join(parts))
 
 
 def attr(name: str, value: Any) -> bytes:
@@ -154,20 +154,11 @@ def model_proto(
     initializers: Optional[Dict[str, np.ndarray]] = None,
     opset: int = 17,
 ) -> bytes:
-    g = b""
-    for n in nodes:
-        g += _ld(1, n)
-    g += _ld(2, b"test-graph")
-    for nm, arr in (initializers or {}).items():
-        g += _ld(5, tensor_proto(nm, arr))
-    for nm, et, sh in inputs:
-        g += _ld(11, value_info(nm, et, sh))
-    for nm, et, sh in outputs:
-        g += _ld(12, value_info(nm, et, sh))
-    m = _vi(1, 8)  # ir_version
-    m += _ld(7, g)
-    m += _ld(8, _ld(1, b"") + _vi(2, opset))  # opset_import
-    return m
+    g = graph_proto(nodes, inputs, outputs, initializers,
+                    name=b"test-graph").data
+    return b"".join([_vi(1, 8),  # ir_version
+                     _ld(7, g),
+                     _ld(8, _ld(1, b"") + _vi(2, opset))])  # opset_import
 
 
 def write_model(path, *args, **kwargs):

@@ -248,6 +248,43 @@ def test_dynamic_quant_matmul_chain(tmp_path):
     np.testing.assert_allclose(got, want, atol=np.abs(x).max() / 255 * 16 * 4)
 
 
+def test_matmulinteger_zero_point_decomposition_exact():
+    """MatMulInteger lowers to an s8×s8→s32 MXU dot plus rank-1 zero-point
+    corrections (onnx_exec._mmi). Integer arithmetic must stay BIT-exact
+    vs the widened int64 reference across every zero-point layout ORT
+    emits: scalar/None, per-column b, per-row a, u8 and s8 activations,
+    and batched a."""
+    from crispy_tpu.models.onnx_exec import _mmi
+
+    class _N:
+        attrs = {}
+
+    def ref(a, b, azp, bzp):
+        az = np.asarray(azp).astype(np.int64) if azp is not None else np.int64(0)
+        if az.ndim >= 1:
+            az = az[..., :, None]
+        bz = np.asarray(bzp).astype(np.int64) if bzp is not None else np.int64(0)
+        return (a.astype(np.int64) - az) @ (b.astype(np.int64) - bz)
+
+    rng = np.random.default_rng(0)
+    a_u8 = rng.integers(0, 256, (5, 37), np.uint8)
+    a_s8 = rng.integers(-128, 128, (5, 37), np.int8)
+    a_3d = rng.integers(0, 256, (2, 5, 37), np.uint8)
+    b = rng.integers(-128, 128, (37, 11), np.int8)
+    cases = [
+        (a_u8, b, np.uint8(7), np.int8(0)),
+        (a_u8, b, np.uint8(131), np.int8(-3)),
+        (a_u8, b, None, None),
+        (a_u8, b, np.uint8(9), rng.integers(-8, 8, 11, np.int8)),   # per-col
+        (a_u8, b, rng.integers(0, 200, 5, np.uint8), np.int8(1)),   # per-row
+        (a_3d, b, np.uint8(100), np.int8(2)),                       # batched
+        (a_s8, b, np.int8(-5), np.int8(4)),                         # signed a
+    ]
+    for i, (aa, bb, az, bz) in enumerate(cases):
+        got = np.asarray(_mmi(_N(), aa, bb, az, bz)).astype(np.int64)
+        assert np.array_equal(got, ref(aa, bb, az, bz)), f"case {i}"
+
+
 def test_slice_pad_where_reduce(tmp_path):
     rng = np.random.default_rng(8)
     x = rng.standard_normal((4, 10)).astype(np.float32)
