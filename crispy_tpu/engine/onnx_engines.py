@@ -267,14 +267,15 @@ def _resolve_frontend(model_dir, feats_shape):
     if pre_p is not None:
         pre_runner = OnnxRunner.load(pre_p).validate()
         pre_in = pre_runner.input_info()[0]
+        pre_big = pre_runner.lift_big_params()
 
         @jax.jit
-        def pre_fn(a):
+        def pre_fn(a, big):
             x = a if (pre_in[2] and len(pre_in[2]) == 2) else a[:, None, :]
-            out = pre_runner(**{pre_in[0]: x})
+            out = pre_runner(big, **{pre_in[0]: x})
             return out[pre_runner.output_names[0]]
 
-        return pre_fn, "waveform"
+        return (lambda a: pre_fn(a, pre_big)), "waveform"
     return _pick_frontend(feats_shape)
 
 
@@ -407,12 +408,13 @@ class OnnxCtcEngine:
         self.textnorm_id = self.textnorm_table.get(textnorm, 15)
 
         runner = self.runner
+        self._big = runner.lift_big_params()
 
         @jax.jit
-        def run(feats, extra):
+        def run(feats, extra, big):
             inputs = {self.feats_name: feats}
             inputs.update(extra)
-            out = runner(**inputs)
+            out = runner(big, **inputs)
             logits = None
             for name in runner.output_names:
                 v = out[name]
@@ -482,8 +484,9 @@ class OnnxCtcEngine:
         dur = a.shape[1] / 16000.0
         feats = _shard_data(self.frontend(a), self.mesh)
         n_frames = _frame_count(self.kind, a.shape[1])
-        ids, emit = self._run(feats,
-                              self._extra_inputs(a.shape[0], n_frames, language))
+        ids, emit = self._run(
+            feats, self._extra_inputs(a.shape[0], n_frames, language),
+            self._big)
         ids, emit = np.asarray(ids)[:B], np.asarray(emit)[:B]
         frame_dur = dur / max(ids.shape[1], 1)
         rows = []
@@ -589,12 +592,14 @@ class OnnxTdtEngine:
                     "exporter's contract")
 
         enc_runner, dec_runner = self.enc, self.dec
+        self._enc_big = enc_runner.lift_big_params()
+        self._dec_big = dec_runner.lift_big_params()
 
         @jax.jit
-        def encode(feats, extra):
+        def encode(feats, extra, big):
             inputs = {self.enc_feats_name: feats}
             inputs.update(extra)
-            out = enc_runner(**inputs)
+            out = enc_runner(big, **inputs)
             enc = None
             for name in enc_runner.output_names:
                 v = out[name]
@@ -604,7 +609,7 @@ class OnnxTdtEngine:
             return enc
 
         @jax.jit
-        def joint(frame, targets, states, extra):
+        def joint(frame, targets, states, extra, big):
             # frame [B, D] → the graph's expected frame layout
             x = frame[:, :, None]  # [B, D, 1]
             d0 = self.dec_enc_shape
@@ -623,7 +628,7 @@ class OnnxTdtEngine:
                 else:  # target_length / length: one label per step
                     v = np.ones(targets.shape[0], dt)
                 inputs[name] = v
-            out = dec_runner(**inputs)
+            out = dec_runner(big, **inputs)
             logits = None
             new_states = []
             state_shapes = {tuple(s.shape) for s in states}
@@ -680,7 +685,7 @@ class OnnxTdtEngine:
         n_frames = _frame_count(self.kind, a.shape[1])
         extra = _length_extra(self.enc_ints, self.enc_roles, a.shape[0],
                               n_frames, f"{self.name} encoder")
-        enc = self._encode(feats, extra)  # stays on device (no host fetch)
+        enc = self._encode(feats, extra, self._enc_big)  # device-resident
         if self._enc_time_last(enc.shape):  # [B, D, T'] → [B, T', D]
             enc = enc.swapaxes(1, 2)
         enc = enc[:B]
@@ -693,12 +698,12 @@ class OnnxTdtEngine:
             # one probe call pins the joint's duration-head count
             lg, _ = self._joint(jnp.zeros((B, D), jnp.float32),
                                 np.full((B, 1), blank, np.int32),
-                                self._init_states(B), {})
+                                self._init_states(B), {}, self._dec_big)
             self._n_dur = max(int(np.asarray(lg).shape[1]) - (V + 1), 0)
             self._decode_fn = self._build_decode_fn(V, blank, self._n_dur)
 
         states0 = tuple(jnp.asarray(s) for s in self._init_states(B))
-        toks, times_idx, n = self._decode_fn(enc, states0)
+        toks, times_idx, n = self._decode_fn(enc, states0, self._dec_big)
         toks, times_idx, n = np.asarray(toks), np.asarray(times_idx), np.asarray(n)
         tokens = [toks[b, : n[b]].tolist() for b in range(B)]
         token_times = [(times_idx[b, : n[b]] * frame_dur).tolist() for b in range(B)]
@@ -713,7 +718,7 @@ class OnnxTdtEngine:
         U = self.MAX_TOKENS
         MAXSYM = self.MAX_SYMBOLS_PER_FRAME
 
-        def decode(enc, states0):
+        def decode(enc, states0, big):
             B, Tq, D = enc.shape
             rows = jnp.arange(B)
 
@@ -725,7 +730,7 @@ class OnnxTdtEngine:
                 i, t, last, states, toks, times, n, syms = st
                 tc = jnp.minimum(t, Tq - 1)
                 frames = jnp.take_along_axis(enc, tc[:, None, None], axis=1)[:, 0]
-                logits, new_states = joint(frames, last, list(states), {})
+                logits, new_states = joint(frames, last, list(states), {}, big)
                 tok = jnp.argmax(logits[:, : V + 1], axis=-1).astype(jnp.int32)
                 if n_dur > 0:
                     dur = jnp.argmax(logits[:, V + 1:], axis=-1).astype(jnp.int32)
@@ -891,12 +896,14 @@ class OnnxEncDecEngine:
         self._fixed_prompt = prompt_tokens is not None
 
         enc_runner, dec_runner = self.enc, self.dec
+        self._enc_big = enc_runner.lift_big_params()
+        self._dec_big = dec_runner.lift_big_params()
 
         @jax.jit
-        def encode(feats, extra):
+        def encode(feats, extra, big):
             inputs = {self.enc_feats_name: feats}
             inputs.update(extra)
-            out = enc_runner(**inputs)
+            out = enc_runner(big, **inputs)
             for name in enc_runner.output_names:
                 v = out[name]
                 if getattr(v, "ndim", 0) == 3:
@@ -909,14 +916,14 @@ class OnnxEncDecEngine:
         bool_consts = {nm: np.array(False) for nm, _sh in self.dec_bools}
 
         @jax.jit
-        def decode(tokens, enc_out, extra):
+        def decode(tokens, enc_out, extra, big):
             name, et, shape = self.dec_tok
             inputs = {name: tokens.astype(_np_dtype(et))}
             if self.dec_enc is not None:
                 inputs[self.dec_enc[0]] = enc_out
             inputs.update(bool_consts)
             inputs.update(extra)
-            out = dec_runner(**inputs)
+            out = dec_runner(big, **inputs)
             for oname in dec_runner.output_names:
                 v = out[oname]
                 if getattr(v, "ndim", 0) == 3 and v.shape[-1] >= (self.vocab_size or 2):
@@ -1001,7 +1008,7 @@ class OnnxEncDecEngine:
         n_frames = _frame_count(self.kind, a.shape[1])
         extra = _length_extra(self.enc_ints, self.enc_roles, a.shape[0],
                               n_frames, f"{self.name} encoder")
-        enc_out = self._encode(feats, extra)[:B]  # device-resident
+        enc_out = self._encode(feats, extra, self._enc_big)[:B]  # on device
 
         prompt_ids = self.prompt_for_language(language)
         tokens = self._decode_tokens(enc_out, B, prompt_ids, self.beam)
@@ -1041,7 +1048,7 @@ class OnnxEncDecEngine:
         decode = self._decode
         eos = self.eos_id
 
-        def loop(tokens, enc_out, extra, s0, done0):
+        def loop(tokens, enc_out, extra, s0, done0, big):
             R = tokens.shape[0]
 
             def cond(st):
@@ -1050,7 +1057,7 @@ class OnnxEncDecEngine:
 
             def body(st):
                 s, toks, done = st
-                logits = decode(toks, enc_out, extra)  # [R, S, V]
+                logits = decode(toks, enc_out, extra, big)  # [R, S, V]
                 lg = lax.dynamic_slice_in_dim(logits, s - 1, 1, axis=1)[:, 0]
                 nxt = jnp.argmax(lg, axis=-1).astype(toks.dtype)
                 nxt = jnp.where(done, eos, nxt)
@@ -1094,7 +1101,8 @@ class OnnxEncDecEngine:
                 extra[name] = np.full(B, S, _np_dtype(et))
             fn = self._loop_fn(S, P)
             toks_S, done_d = fn(jnp.asarray(tokens[:, :S]), enc_out, extra,
-                                jnp.int32(s0), jnp.asarray(done))
+                                jnp.int32(s0), jnp.asarray(done),
+                                self._dec_big)
             done = np.asarray(done_d)       # ← the one host sync per bucket
             tokens[:, :S] = np.asarray(toks_S)
             if done.all():
@@ -1128,14 +1136,14 @@ class OnnxEncDecEngine:
         eos = self.eos_id
         R = B * beam
 
-        def loop(tokens, enc_out, extra, s0, done0, cum0):
+        def loop(tokens, enc_out, extra, s0, done0, cum0, big):
             def cond(st):
                 s, _toks, done, _cum = st
                 return (s < S) & jnp.logical_not(jnp.all(done))
 
             def body(st):
                 s, toks, done, cum = st
-                logits = decode(toks, enc_out, extra)  # [R, S, V]
+                logits = decode(toks, enc_out, extra, big)  # [R, S, V]
                 lg = lax.dynamic_slice_in_dim(logits, s - 1, 1, axis=1)[:, 0]
                 V = lg.shape[-1]
                 mx = jnp.max(lg, axis=-1, keepdims=True)
@@ -1205,7 +1213,8 @@ class OnnxEncDecEngine:
             fn = self._beam_loop_fn(S, P, B, beam)
             toks_S, done_d, cum_d = fn(
                 jnp.asarray(tokens[:, :S]), enc_rep, extra,
-                jnp.int32(s0), jnp.asarray(done), jnp.asarray(cum))
+                jnp.int32(s0), jnp.asarray(done), jnp.asarray(cum),
+                self._dec_big)
             done = np.asarray(done_d)       # ← the one host sync per bucket
             tokens[:, :S] = np.asarray(toks_S)
             cum = np.asarray(cum_d)

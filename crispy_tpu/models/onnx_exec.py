@@ -271,12 +271,48 @@ class OnnxRunner:
             raise NotImplementedError(f"unsupported ONNX ops: {', '.join(missing)}")
         return self
 
-    def __call__(self, **inputs) -> Dict[str, Any]:
+    # Initializers at/above this size are "weights": callers that jit the
+    # runner should lift them OUT of the trace (big_params / __call__'s
+    # params=) so they enter the compiled program as device-resident
+    # ARGUMENTS, not HLO constants — embedding hundreds of MB of constants
+    # makes XLA (and, on a remote-compiler backend, the compile-payload
+    # transfer) pathologically slow. Below the threshold they stay
+    # host-concrete numpy, which the static partial evaluator REQUIRES for
+    # shape scaffolding (Shape→Gather→Concat→Reshape chains, slice/pad
+    # indices — module docstring above).
+    BIG_PARAM_BYTES = 16384
+
+    def big_params(self, min_bytes: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """The weight-class initializers (≥ min_bytes), to be passed back
+        through `params=` from inside a jit so they become traced
+        arguments. Subgraph (If/Loop/Scan) initializers stay constants —
+        they are small in practice."""
+        lim = self.BIG_PARAM_BYTES if min_bytes is None else min_bytes
+        return {k: v for k, v in self.graph.initializers.items()
+                if getattr(v, "nbytes", 0) >= lim}
+
+    def lift_big_params(self) -> Dict[str, Any]:
+        """big_params as device arrays — build ONCE at engine init and pass
+        through every jit boundary down to the runner call. One transfer,
+        then device-resident; and the compiled HLO takes them as
+        parameters instead of swallowing hundreds of MB of constants
+        (which on a remote-compiler backend also ships the whole weight
+        blob inside the compile payload)."""
+        import jax.numpy as jnp
+
+        return {k: jnp.asarray(v) for k, v in self.big_params().items()}
+
+    def __call__(self, params: Optional[Dict[str, Any]] = None, /,
+                 **inputs) -> Dict[str, Any]:
+        # `params` is positional-only so a graph input literally named
+        # "params" still routes through **inputs.
         vals: Dict[str, Any] = dict(self.graph.initializers)
         vals[""] = None  # optional (absent) input slot
         for n in self.input_names:
             if n not in inputs:
                 raise ValueError(f"missing graph input {n!r}")
+        if params:
+            vals.update(params)
         vals.update(inputs)
         import jax
 

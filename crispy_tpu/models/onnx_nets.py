@@ -35,18 +35,19 @@ def segmentation_runner(path) -> Callable[[np.ndarray], np.ndarray]:
     runner = OnnxRunner.load(path).validate()
     name, _, shape = _first_input(runner)
     rank = len(shape) if shape else 3
+    big = runner.lift_big_params()
 
     @jax.jit
-    def fn(windows):
+    def fn(windows, params):
         x = windows[:, None, :] if rank == 3 else windows
-        out = runner(**{name: x})
+        out = runner(params, **{name: x})
         y = out[runner.output_names[0]]
         if y.ndim == 2:  # [F, C] single-window export
             y = y[None]
         return y
 
     def call(windows: np.ndarray) -> np.ndarray:
-        return np.asarray(fn(windows.astype(np.float32)))
+        return np.asarray(fn(windows.astype(np.float32), big))
 
     return call
 
@@ -68,10 +69,11 @@ def embedding_runner(path, feat_dim: int = 80) -> Callable[[Sequence[np.ndarray]
     name, _, shape = _first_input(runner)
     if shape and len(shape) not in (2, 3):
         raise ValueError(f"unexpected embedding input rank {len(shape)}")
+    big = runner.lift_big_params()
 
     @jax.jit
-    def run_feats(feats):
-        out = runner(**{name: feats})
+    def run_feats(feats, params):
+        out = runner(params, **{name: feats})
         return out[runner.output_names[0]]
 
     def call(segments: Sequence[np.ndarray]) -> np.ndarray:
@@ -87,7 +89,7 @@ def embedding_runner(path, feat_dim: int = 80) -> Callable[[Sequence[np.ndarray]
             feats = np.asarray(fbank(jnp.asarray(audio), feat_dim))
             # WeSpeaker applies per-utterance CMN (subtract feature mean)
             feats = feats - feats.mean(axis=1, keepdims=True)
-            embs = np.asarray(run_feats(feats.astype(np.float32)))
+            embs = np.asarray(run_feats(feats.astype(np.float32), big))
             for j, i in enumerate(idxs):
                 out[i] = embs[j]
         return np.stack(out).astype(np.float32)

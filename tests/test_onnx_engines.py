@@ -61,7 +61,8 @@ def test_ctc_engine_gigaam_layout(tmp_path):
     # greedy-collapse semantics vs a manual decode of the same emissions
     feats = eng.frontend(chunks[:1])
     ids, emit = map(np.asarray,
-                    eng._run(feats, eng._extra_inputs(1, 16000 // 160 + 1)))
+                    eng._run(feats, eng._extra_inputs(1, 16000 // 160 + 1),
+                             eng._big))
     blank = 7  # vocab (7) < V (8) → NeMo blank-last
     seq, prev = [], -1
     for t in ids[0]:
@@ -360,11 +361,12 @@ def test_encdec_engine_canary_prompt_and_decode(tmp_path):
     # causal padded decode: logits at position s-1 ignore later pad tokens —
     # verified by comparing against an explicit unpadded step-by-step decode
     feats = eng.frontend(chunks[:1])
-    enc = eng._encode(feats, {"length": np.full(1, 16000 // 160 + 1, np.int64)})
+    enc = eng._encode(feats, {"length": np.full(1, 16000 // 160 + 1, np.int64)},
+                      eng._enc_big)
     toks = list(eng.prompt_ids)
     for _ in range(12):
         t = np.asarray(toks, np.int64)[None, :]
-        logits = np.asarray(eng._decode(t, enc, {}))
+        logits = np.asarray(eng._decode(t, enc, {}, eng._dec_big))
         nxt = int(logits[0, -1].argmax())
         if nxt == eng.eos_id:
             break

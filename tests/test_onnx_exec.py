@@ -285,6 +285,44 @@ def test_matmulinteger_zero_point_decomposition_exact():
         assert np.array_equal(got, ref(aa, bb, az, bz)), f"case {i}"
 
 
+def test_big_params_stay_out_of_the_trace(tmp_path):
+    """Weight-class initializers (>= BIG_PARAM_BYTES) must reach compiled
+    programs as ARGUMENTS, not HLO constants: embedding them bakes the
+    whole weight blob into every lowering (and, on a remote-compiler
+    backend, into the compile payload — measured >25 min for a 575 MB
+    bundle vs ~90 s lifted). Small initializers must stay host-concrete
+    for the static partial evaluator."""
+    import jax
+    import jax.numpy as jnp
+
+    from crispy_tpu.models.onnx_exec import OnnxRunner
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((128, 128)).astype(np.float32)  # 64 KB: big
+    shp = np.array([2, 64, 128], np.int64)                  # tiny: stays
+    p = tmp_path / "m.onnx"
+    ob.write_model(
+        p,
+        [ob.node("MatMul", ["x", "w"], ["mm"]),
+         ob.node("Reshape", ["mm", "shp"], ["y"])],
+        [("x", 1, [2, 64, 128])], [("y", 1, [2, 64, 128])],
+        {"w": w, "shp": shp})
+    r = OnnxRunner.load(p).validate()
+    assert set(r.big_params()) == {"w"}
+
+    x = rng.standard_normal((2, 64, 128)).astype(np.float32)
+    f_const = jax.jit(lambda a: r(x=a)["y"])
+    big = r.lift_big_params()
+    f_arg = jax.jit(lambda a, prm: r(prm, x=a)["y"])
+    # identical numerics either way
+    np.testing.assert_allclose(np.asarray(f_const(x)),
+                               np.asarray(f_arg(x, big)), rtol=1e-6)
+    # and the lifted lowering must NOT inline the 64 KB of weights
+    t_const = f_const.lower(x).as_text()
+    t_arg = f_arg.lower(x, big).as_text()
+    assert len(t_arg) < len(t_const) / 3, (len(t_arg), len(t_const))
+
+
 def test_slice_pad_where_reduce(tmp_path):
     rng = np.random.default_rng(8)
     x = rng.standard_normal((4, 10)).astype(np.float32)
