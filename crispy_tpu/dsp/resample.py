@@ -158,7 +158,8 @@ def resample_block(samples: np.ndarray, from_rate: float, to_rate: float) -> np.
     small (≤ a few thousand samples) and arrive on host threads, where the
     TPU conv path's per-call tunnel dispatch (~29 ms RTT on this harness)
     dwarfs the math. The device polyphase conv (`make_resampler_jax`,
-    BENCH `resample_mix_tpu_x` ≈ 32,500x realtime) is the bulk path for
+    BENCH `resample_mix_tpu_x` — tunnel-transfer-bound on this harness, so
+    quoted only as a median with spread in BENCH) is the bulk path for
     device-resident audio (transcription preprocessing); the native C++
     `resampler_process` mirrors this linear path for the embedded runtime.
     Any of the three beats the realtime requirement by >300x."""
