@@ -140,10 +140,45 @@ class _Handler(BaseHTTPRequestHandler):
         # /api is POST-only: GET side effects would be one <img src> away
         self.send_error(404)
 
+    MAX_UPLOAD = 2 << 30  # 2 GiB: above the largest catalog media plausibly dropped
+
     def do_POST(self):
+        parsed = urllib.parse.urlparse(self.path)
+        if parsed.path == "/upload":
+            # drag-drop convert (F10, ConvertView.tsx drag handler): the
+            # browser holds bytes, not a path, so the served UI uploads the
+            # dropped media here and then invokes convert_to_wav on the
+            # saved path. Octet-stream body; name comes from the query and
+            # is reduced to a safe basename (no traversal).
+            if not self._check_browser_boundaries():
+                return
+            n = int(self.headers.get("Content-Length") or 0)
+            if n <= 0 or n > self.MAX_UPLOAD:
+                return self._json({"error": "bad upload size"}, 413)
+            q = urllib.parse.parse_qs(parsed.query)
+            raw_name = (q.get("name") or ["upload.bin"])[0]
+            name = Path(raw_name).name.replace("\x00", "") or "upload.bin"
+            updir = paths.crispy_root() / "Uploads"
+            paths.ensure_dir(updir)
+            target = updir / name
+            i = 1
+            while target.exists():
+                target = updir / f"{target.stem.split(' (')[0]} ({i}){target.suffix}"
+                i += 1
+            remaining = n
+            with open(target, "wb") as f:
+                while remaining:
+                    chunk = self.rfile.read(min(1 << 20, remaining))
+                    if not chunk:
+                        break
+                    f.write(chunk)
+                    remaining -= len(chunk)
+            if remaining:
+                target.unlink(missing_ok=True)
+                return self._json({"error": "truncated upload"}, 400)
+            return self._json({"path": str(target)})
         if not self._check_browser_boundaries(api=True):
             return
-        parsed = urllib.parse.urlparse(self.path)
         if parsed.path.startswith("/api/"):
             n = int(self.headers.get("Content-Length") or 0)
             raw = self.rfile.read(n) if n else b""

@@ -241,3 +241,38 @@ def test_all_pages_contract_matches_server():
             assert cmd in COMMANDS, f"{name} calls unknown command {cmd}"
         for ev in set(re.findall(r'es\.addEventListener\("([a-z-]+)"', page)):
             assert ev in SSE_EVENTS, f"{name} listens to unbridged event {ev}"
+
+
+def test_upload_saves_confined_and_unique(served):
+    """POST /upload (drag-drop convert, F10): bytes land under
+    <root>/Uploads with a traversal-proof basename; same-name uploads get
+    uniquified; byte-exact round trip; the returned path feeds
+    convert_to_wav."""
+    app, srv = served
+    data = b"RIFFfakebytes" * 100
+
+    def up(name, body=data):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/upload?name={urllib.parse.quote(name)}",
+            data=body, method="POST",
+            headers={"Content-Type": "application/octet-stream"})
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return json.loads(r.read())
+
+    import urllib.parse
+    from pathlib import Path
+
+    p1 = Path(up("clip.mp4")["path"])
+    assert p1.parent == paths.crispy_root() / "Uploads"
+    assert p1.read_bytes() == data
+    p2 = Path(up("clip.mp4")["path"])  # uniquified, never overwritten
+    assert p2 != p1 and p2.exists()
+    p3 = Path(up("../../../evil.mp4")["path"])  # traversal reduced to basename
+    assert p3.parent == paths.crispy_root() / "Uploads"
+    assert p3.name.startswith("evil")
+    # empty body refused
+    try:
+        up("x.mp4", body=b"")
+        assert False, "empty upload accepted"
+    except urllib.error.HTTPError as e:
+        assert e.code == 413
