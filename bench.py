@@ -482,7 +482,13 @@ def bench_onnx_asr(B=8, cache_dir="/tmp/crispy_bench_parakeet_v2"):
     honest, transcript quality unmeasured; the joint carries a calibrated
     blank bias so emission/duration statistics (and hence decode-loop trip
     counts) match real TDT decoding instead of the degenerate
-    max-symbols-per-frame worst case."""
+    max-symbols-per-frame worst case.
+
+    Spread caveat: each call uploads 15 MB of float chunks through the
+    ~20-40 MB/s tunnel before a ~0.2 s device step, so per-call wall time
+    is transfer-dominated and swings with tunnel weather (docs/PERF.md
+    itemization); the median is the honest harness number and sits well
+    above the on-device cost a locally-attached chip would see."""
     import numpy as np
 
     from crispy_tpu.engine.onnx_engines import OnnxTdtEngine
@@ -641,7 +647,9 @@ WEIGHTS_TAGS = {
 
 
 def main():
+    t0 = time.time()
     denoise_x = bench_denoise()
+    bench_secs = {"rnnoise_denoise": round(time.time() - t0, 1)}
     extra = {}
     for key, fn in (
         ("denoise_mfu_pct", bench_denoise_mfu),
@@ -661,6 +669,7 @@ def main():
         ("diarization_exec_x_realtime", bench_diarization_exec),
         ("denoise_mesh_x", bench_denoise_mesh),
     ):
+        t0 = time.time()
         try:
             v = fn()
             if isinstance(v, tuple):  # (median value, spread pct)
@@ -670,10 +679,12 @@ def main():
                 extra[key] = round(v, 5)
         except Exception as e:  # a sub-bench must never kill the headline
             extra[key] = f"error: {type(e).__name__}: {e}"[:200]
+        bench_secs[key] = round(time.time() - t0, 1)
     import jax
 
     extra["n_devices"] = len(jax.devices())
     extra["weights"] = WEIGHTS_TAGS
+    extra["bench_seconds"] = bench_secs  # wall cost per metric (incl. compiles)
 
     print(json.dumps({
         "metric": "rnnoise_denoise_realtime_factor_per_chip",
