@@ -198,8 +198,8 @@ def _kaiser_sinc_filter(up: int, down: int, taps_per_phase: int = 24, beta: floa
 
 def resample_poly(
     x: np.ndarray, from_rate: int, to_rate: int, use_jax: Optional[bool] = None,
-    wire: str = "f32",
-) -> np.ndarray:
+    wire: str = "f32", device_out: bool = False,
+):
     """Anti-aliased rational resampling (e.g. 48000 → 16000, 44100 → 48000).
 
     Implemented as polyphase convolution; on TPU the phases evaluate as one
@@ -210,9 +210,19 @@ def resample_poly(
     exact when the samples sit on the int16 grid, i.e. came from a 16-bit
     WAV — halving the upload that dominates long-file resampling through
     the tunnel.
+
+    ``device_out=True`` (device path only) returns the result as a
+    device-resident jax array instead of fetching it to host — for
+    consumers that feed the samples straight back into device compute
+    (run_transcription's chunk batches), where the round trip is pure
+    waste: ~2x the audio bytes over PCIe, far worse over a tunnel.
     """
     x = np.asarray(x, dtype=np.float32)
     if from_rate == to_rate or x.size == 0:
+        if device_out:
+            import jax.numpy as jnp
+
+            return jnp.asarray(x)
         return x.copy()
     g = math.gcd(int(from_rate), int(to_rate))
     up, down = int(to_rate) // g, int(from_rate) // g
@@ -253,6 +263,8 @@ def resample_poly(
     xp = np.pad(x, (0, bucket - n)) if bucket != n else x
     if wire == "i16":
         xp = (xp * 32768.0).astype(np.int16)  # exact for 16-bit sources
+    if device_out:
+        return fn(xp)[:nout]  # stays on device
     return np.asarray(fn(xp), dtype=np.float32)[:nout]
 
 

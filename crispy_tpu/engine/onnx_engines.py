@@ -234,15 +234,34 @@ def _energy_quantile_times(row_16k: np.ndarray, dur: float, n_tokens: int,
     return [t0 + float(p) * frame / 16000.0 for p in pos]
 
 
-def _pad_batch(a: np.ndarray, mesh) -> Tuple[np.ndarray, int]:
-    """Pad the chunk batch to a multiple of the mesh's dp size."""
+def _chunks_2d(chunks_16k):
+    """Chunk batch → 2-D float32, WITHOUT forcing device arrays through
+    host numpy: run_transcription's device pipeline hands chunks that
+    already live on the device (resample_poly device_out), and fetching
+    them just to re-upload costs ~2x the audio bytes (docs/PERF.md)."""
+    import jax
+
+    if isinstance(chunks_16k, jax.Array):
+        a = chunks_16k if chunks_16k.ndim == 2 else chunks_16k[None]
+        return a.astype("float32")
+    return np.atleast_2d(np.asarray(chunks_16k, np.float32))
+
+
+def _pad_batch(a, mesh) -> Tuple[np.ndarray, int]:
+    """Pad the chunk batch to a multiple of the mesh's dp size (np or
+    device arrays)."""
     B = a.shape[0]
     if mesh is None:
         return a, B
     dp = mesh.devices.shape[0]
     Bp = -(-B // dp) * dp
     if Bp != B:
-        a = np.concatenate([a, np.repeat(a[-1:], Bp - B, axis=0)])
+        if isinstance(a, np.ndarray):
+            a = np.concatenate([a, np.repeat(a[-1:], Bp - B, axis=0)])
+        else:
+            import jax.numpy as jnp
+
+            a = jnp.concatenate([a, jnp.repeat(a[-1:], Bp - B, axis=0)])
     return a, B
 
 
@@ -479,7 +498,7 @@ class OnnxCtcEngine:
     def _emissions(self, chunks_16k: np.ndarray, language: str = "en"):
         """Greedy CTC emissions with frame times: per row (ids, times).
         With a mesh the chunk batch shards over 'data' (padded to dp)."""
-        a = np.atleast_2d(np.asarray(chunks_16k, np.float32))
+        a = _chunks_2d(chunks_16k)
         a, B = _pad_batch(a, self.mesh)
         dur = a.shape[1] / 16000.0
         feats = _shard_data(self.frontend(a), self.mesh)
@@ -678,7 +697,7 @@ class OnnxTdtEngine:
         """
         import jax.numpy as jnp
 
-        a = np.atleast_2d(np.asarray(chunks_16k, np.float32))
+        a = _chunks_2d(chunks_16k)
         a, B = _pad_batch(a, self.mesh)
         chunk_dur = a.shape[1] / 16000.0
         feats = _shard_data(self.frontend(a), self.mesh)
@@ -1001,7 +1020,7 @@ class OnnxEncDecEngine:
                      language: str = "en") -> Tuple[List[List[int]], float]:
         """Encode + decode a chunk batch → (per-row generated token ids
         up to EOS, chunk duration in seconds)."""
-        a = np.atleast_2d(np.asarray(chunks_16k, np.float32))
+        a = _chunks_2d(chunks_16k)
         a, B = _pad_batch(a, self.mesh)
         dur = a.shape[1] / 16000.0
         feats = _shard_data(self.frontend(a), self.mesh)

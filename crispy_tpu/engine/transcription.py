@@ -40,6 +40,12 @@ CHUNK_SAMPLES = TARGET_SAMPLE_RATE * TRANSCRIBE_CHUNK_SECONDS
 # Persistence (hash-keyed sidecars)
 # ---------------------------------------------------------------------------
 
+def _is_device_array(x) -> bool:
+    """True for jax device arrays (duck-typed: no jax import on the host
+    paths that never touch a device)."""
+    return type(x).__module__.startswith("jax") or hasattr(x, "addressable_shards")
+
+
 def transcription_file_stem(recording_path: str) -> str:
     """Stable 16-hex stem from the recording path.
 
@@ -621,17 +627,31 @@ def run_transcription(
             # 16-bit sources ship to the device as int16 PCM (exact — the
             # decoded floats sit on the int16 grid): halves the upload,
             # which dominates long-file resampling through the tunnel.
+            # device_out keeps the 16 kHz result ON the device: the chunk
+            # batches feed straight back into device compute, so fetching
+            # and re-uploading the whole recording (~2x the audio bytes)
+            # is pure waste (docs/PERF.md itemization: that round trip was
+            # the single largest cost of the file pipeline here).
             fmt = wavio.read_format(recording_path)
             wire = "i16" if fmt is not None and fmt.bits_per_sample == 16 else "f32"
-            audio = resample_poly(audio, sr, TARGET_SAMPLE_RATE, wire=wire)
-        total_out = audio.size
+            audio = resample_poly(audio, sr, TARGET_SAMPLE_RATE, wire=wire,
+                                  device_out=True)
+        total_out = int(audio.size)
 
         # 30 s chunks, final partial chunk zero-padded (tail flush,
-        # commands/transcription.rs:347-400).
-        n_chunks = max(1, -(-audio.size // CHUNK_SAMPLES))
-        chunks = np.zeros((n_chunks, CHUNK_SAMPLES), np.float32)
-        flat = audio[: n_chunks * CHUNK_SAMPLES]
-        chunks.reshape(-1)[: flat.size] = flat
+        # commands/transcription.rs:347-400). Device audio chunks on
+        # device; host audio stays host (engines accept either).
+        n_chunks = max(1, -(-total_out // CHUNK_SAMPLES))
+        if _is_device_array(audio):
+            import jax.numpy as jnp
+
+            chunks = jnp.pad(
+                audio, (0, n_chunks * CHUNK_SAMPLES - total_out)
+            ).reshape(n_chunks, CHUNK_SAMPLES)
+        else:
+            chunks = np.zeros((n_chunks, CHUNK_SAMPLES), np.float32)
+            flat = audio[: n_chunks * CHUNK_SAMPLES]
+            chunks.reshape(-1)[: flat.size] = flat
 
         set_phase("transcribing")
         # Chunk-level checkpoint/resume: a cancelled or crashed job restarts
@@ -661,9 +681,15 @@ def run_transcription(
             if n_live < batch_chunks and n_chunks > batch_chunks:
                 # Pad the tail batch to the fixed shape: a smaller B would
                 # trigger a fresh multi-second XLA compile for one batch.
-                batch = np.concatenate(
-                    [batch, np.zeros((batch_chunks - n_live, CHUNK_SAMPLES),
-                                     np.float32)])
+                if _is_device_array(batch):
+                    import jax.numpy as jnp
+
+                    batch = jnp.pad(
+                        batch, ((0, batch_chunks - n_live), (0, 0)))
+                else:
+                    batch = np.concatenate(
+                        [batch, np.zeros((batch_chunks - n_live, CHUNK_SAMPLES),
+                                         np.float32)])
             if diarization and diarization.get("enabled"):
                 # timestamped segments for speaker alignment (:272-280),
                 # decoded for the whole batch in one compiled call
@@ -718,7 +744,7 @@ def run_transcription(
                 from . import diarization as dz
 
                 text = dz.run_diarization(
-                    audio, TARGET_SAMPLE_RATE, parts,
+                    np.asarray(audio, np.float32), TARGET_SAMPLE_RATE, parts,
                     model_manager=tm.model_manager,
                     max_speakers=int(diarization.get("max_speakers", 4)),
                     merge_gap=float(diarization.get("merge_gap", 1.0)),

@@ -155,8 +155,15 @@ class WhisperModel:
 
         from ...dsp.mel import log_mel_spectrogram
 
-        a = np.atleast_2d(np.asarray(audio_16k, dtype=np.float32))
-        B = a.shape[0]
+        if isinstance(audio_16k, jax.Array):
+            # device-resident chunks (run_transcription's device pipeline):
+            # never round-trip them through host numpy — mel consumes them
+            # where they already live
+            a = audio_16k if audio_16k.ndim == 2 else audio_16k[None]
+            a = a.astype(jnp.float32)
+        else:
+            a = np.atleast_2d(np.asarray(audio_16k, dtype=np.float32))
+        B = int(a.shape[0])
         mel = log_mel_spectrogram(jnp.asarray(a), n_mels=self.cfg.n_mels,
                                   pad_to_chunk=True)
         tok = self.tokenizer

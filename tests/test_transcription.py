@@ -226,3 +226,52 @@ class TestCheckpointResume:
         tr.transcription_progress_path(str(wav)).write_text("{not json")
         text = tr.run_transcription(str(wav), tm, "fake-model")
         assert text and not tr.transcription_progress_path(str(wav)).exists()
+
+
+class TestDeviceResidentPipeline:
+    def test_device_chunks_match_host_path(self, setup, monkeypatch):
+        """run_transcription with a device-resident resample output (the
+        TPU path's device_out=True) chunks/pads on device and produces the
+        same transcript as the host path — no silent fetch regressions."""
+        import jax.numpy as jnp
+
+        from crispy_tpu.dsp import resample as rs
+
+        tm, bus, engine, tmp = setup
+        wav = make_wav(tmp / "dev.wav", seconds=95.0)  # 4 chunks, ragged tail
+
+        host_text = tr.run_transcription(str(wav), tm, "fake-model",
+                                         batch_chunks=3)
+        host_calls = list(engine.calls)
+        engine.calls.clear()
+        tr.clear_transcription_progress(str(wav))
+
+        real = rs.resample_poly
+
+        def device_resample(x, fr, to, **kw):
+            kw.pop("device_out", None)
+            return jnp.asarray(real(x, fr, to, **kw))  # device-resident
+
+        monkeypatch.setattr(rs, "resample_poly", device_resample)
+        # engine must SEE device arrays (proof nothing fetched upstream)
+        seen = []
+        orig = engine.transcribe_batch
+        engine.transcribe_batch = lambda c, language="en": (
+            seen.append(type(c).__module__), orig(c, language))[1]
+        dev_text = tr.run_transcription(str(wav), tm, "fake-model",
+                                        batch_chunks=3)
+        assert dev_text == host_text
+        assert engine.calls == host_calls  # same batch shapes incl. tail pad
+        assert all(m.startswith("jax") for m in seen), seen
+
+    def test_resample_device_out_matches_host_fetch(self):
+        import jax
+
+        from crispy_tpu.dsp.resample import resample_poly
+
+        rng = np.random.default_rng(0)
+        x = (rng.standard_normal(48000) * 0.3).astype(np.float32)
+        host = resample_poly(x, 48000, 16000, use_jax=True)
+        dev = resample_poly(x, 48000, 16000, use_jax=True, device_out=True)
+        assert isinstance(dev, jax.Array)
+        np.testing.assert_array_equal(host, np.asarray(dev))
