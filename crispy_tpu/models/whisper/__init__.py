@@ -216,12 +216,17 @@ class WhisperModel:
         reference gets word segments from its engines one chunk at a time —
         managers/transcription.rs:196-249; batching keeps the TPU advantage
         on diarization-enabled jobs)."""
+        import jax
         import jax.numpy as jnp
 
         from ...dsp.mel import log_mel_spectrogram
 
-        a = np.atleast_2d(np.asarray(audio_16k, dtype=np.float32))
-        B = a.shape[0]
+        if isinstance(audio_16k, jax.Array):  # device chunks: stay on device
+            a = audio_16k if audio_16k.ndim == 2 else audio_16k[None]
+            a = a.astype(jnp.float32)
+        else:
+            a = np.atleast_2d(np.asarray(audio_16k, dtype=np.float32))
+        B = int(a.shape[0])
         if offsets_seconds is None:
             offsets_seconds = [0.0] * B
         dur = a.shape[1] / 16000.0
