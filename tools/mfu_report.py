@@ -173,6 +173,38 @@ def stage_nme(n=500):
                 ceiling=PEAK_F32_HIGHEST, ceiling_name="f32@HIGHEST")
 
 
+def stage_onnx_encoder(B=8):
+    """The ONNX-executor serving path's encoder (parakeet-v3-dim int8
+    conformer, tools/bench_bundles.py): int8 matmuls score against the
+    int8 MXU peak — XLA's cost model counts their MACs as flops."""
+    import jax.numpy as jnp
+
+    from bench import _parakeet_bundle
+    from crispy_tpu.engine.onnx_engines import OnnxTdtEngine, _length_extra
+
+    eng = OnnxTdtEngine(_parakeet_bundle("/tmp/crispy_bench_parakeet_v2"),
+                        model_id="pk-mfu")
+    rng = np.random.default_rng(0)
+    chunks = jnp.asarray((rng.standard_normal((B, 480000)) * 0.2
+                          ).astype(np.float32))
+    feats = eng.frontend(chunks)
+    from crispy_tpu.engine.onnx_engines import _frame_count
+
+    extra = _length_extra(eng.enc_ints, eng.enc_roles, B,
+                          _frame_count(eng.kind, 480000), "mfu encoder")
+    flops, bbytes = _cost(
+        eng._encode.lower(feats, extra, eng._enc_big).compile())
+    box = [None]
+
+    def step():
+        box[0] = eng._encode(feats, extra, eng._enc_big)
+
+    dt = _time(step, lambda: float(box[0].sum()), inner=5)
+    return dict(name=f"onnx-exec parakeet-v3 encoder int8 (B={B})",
+                flops=flops, bytes=bbytes, dt=dt, ceiling=PEAK_INT8,
+                ceiling_name="int8")
+
+
 def render(stages, as_json=False):
     rows = []
     for s in stages:
@@ -212,6 +244,10 @@ def main():
     stages = [stage_denoise()]
     stages += _whisper("base")
     stages.append(stage_nme())
+    try:
+        stages.append(stage_onnx_encoder())
+    except Exception as e:  # bundle build needs ~600 MB of /tmp
+        print(f"(onnx encoder stage skipped: {e})")
     render(stages, as_json=args.json)
 
 
