@@ -212,7 +212,12 @@ def render(stages, as_json=False):
         bs = s["bytes"] / s["dt"]
         comp_pct = 100.0 * fs / s["ceiling"]
         hbm_pct = 100.0 * bs / PEAK_HBM
-        bound = "compute" if comp_pct >= hbm_pct else "memory"
+        if max(comp_pct, hbm_pct) < 10.0:
+            # far from both walls: sequential-dependency/dispatch bound
+            # (e.g. AR decode steps, eigensolver iteration chains)
+            bound = "latency/serialization"
+        else:
+            bound = "compute" if comp_pct >= hbm_pct else "memory"
         row = dict(stage=s["name"], gflops_per_call=s["flops"] / 1e9,
                    gb_per_call=s["bytes"] / 1e9, ms=s["dt"] * 1e3,
                    achieved_tflops=fs / 1e12, achieved_gbs=bs / 1e9,
