@@ -373,13 +373,19 @@ def bench_diarization_staged(minutes=60):
     ride the builtin energy-VAD structure (net logits enter at weight 0,
     so every staged FLOP executes and stays in the data flow) so the
     downstream chunk/cluster load matches a real 3-speaker hour instead
-    of whatever random logits decode to. Reference: the serial per-window
-    / per-chunk ORT loop (managers/diarization.rs:77-348)."""
+    of whatever random logits decode to. Since round 5 the route is
+    one-upload: the recording crosses the link once as int16 and both
+    nets consume the device-resident array (windows via reshape, chunks
+    via dynamic_slice) instead of re-uploading ~460 MB/hour of f32.
+    Reference: the serial per-window / per-chunk ORT loop
+    (managers/diarization.rs:77-348)."""
     import numpy as np
 
     from crispy_tpu.engine import diarization as dz
     from crispy_tpu.models import campplus, segmentation as segnet
     from crispy_tpu.utils.synth import synth_speaker_hour
+
+    from crispy_tpu.engine import diar_device as dd
 
     seg_model = segnet.SegmentationModel(segnet.init_random())
     emb_model = campplus.CamPPlusModel(campplus.init_random())
@@ -396,6 +402,26 @@ def bench_diarization_staged(minutes=60):
         reps = -(-real.shape[1] // stand.shape[1])
         tiled = np.tile(stand, (1, reps))[:, :real.shape[1]]
         return tiled + 0.0 * real
+
+    # one-upload variants: the real nets consume the device-resident i16
+    # recording; decode structure comes from the device energy-VAD margins
+    # (pinned equal to the host energy_vad_logits by the fused-path tests)
+    def seg_dev(dev):
+        real = seg_model.from_device(dev)                       # [W, F, 7]
+        m = dd.segmentation_margins(dev, int(dev.shape[0]))     # [W, F']
+        ev = np.stack([-m, m], axis=-1)
+        f = min(real.shape[1], ev.shape[1])
+        return ev[:, :f] + 0.0 * real[:, :f, :2]
+
+    def emb_dev(dev, ranges):
+        real = np.asarray(emb_model.from_device(dev, ranges))   # [N, E]
+        stand = dd.chunk_stats(dev, int(dev.shape[0]), list(ranges))
+        reps = -(-real.shape[1] // stand.shape[1])
+        tiled = np.tile(stand, (1, reps))[:, :real.shape[1]]
+        return tiled + 0.0 * real
+
+    seg_fn.from_device = seg_dev
+    emb_fn.from_device = emb_dev
 
     audio = np.asarray(synth_speaker_hour(minutes), np.float32)
     box = [None]
@@ -423,7 +449,10 @@ def bench_diarization_exec(minutes=60):
     energy-VAD structure (executor logits/embeddings enter at weight 0 —
     every executor FLOP runs and stays in the data flow) so the cluster
     load matches a real 3-speaker hour instead of whatever random logits
-    decode to."""
+    decode to. Since round 5 the route is one-upload (int16, device-
+    resident windows/chunks), and the executor embedding runner fuses
+    fbank+CMN+net into one program — the feature tensor never visits the
+    host (the round trip measured 2x end-to-end)."""
     import sys
     from pathlib import Path
 
@@ -445,6 +474,8 @@ def bench_diarization_exec(minutes=60):
     seg_exec = onnx_nets.segmentation_runner(seg_p)
     emb_exec = onnx_nets.embedding_runner(emb_p)
 
+    from crispy_tpu.engine import diar_device as dd
+
     def seg_fn(windows):
         real = seg_exec(windows)            # [W, 589, 7] — full executor D1
         ev = dz.energy_vad_logits(windows)  # [W, F, 2] — decode structure
@@ -457,6 +488,24 @@ def bench_diarization_exec(minutes=60):
         reps = -(-real.shape[1] // stand.shape[1])
         tiled = np.tile(stand, (1, reps))[:, :real.shape[1]]
         return tiled + 0.0 * real
+
+    # one-upload variants (same trick as bench_diarization_staged)
+    def seg_dev(dev):
+        real = seg_exec.from_device(dev)                     # [W, 589, 7]
+        m = dd.segmentation_margins(dev, int(dev.shape[0]))  # [W, F']
+        ev = np.stack([-m, m], axis=-1)
+        f = min(real.shape[1], ev.shape[1])
+        return ev[:, :f] + 0.0 * real[:, :f, :2]
+
+    def emb_dev(dev, ranges):
+        real = np.asarray(emb_exec.from_device(dev, ranges))  # [N, 192]
+        stand = dd.chunk_stats(dev, int(dev.shape[0]), list(ranges))
+        reps = -(-real.shape[1] // stand.shape[1])
+        tiled = np.tile(stand, (1, reps))[:, :real.shape[1]]
+        return tiled + 0.0 * real
+
+    seg_fn.from_device = seg_dev
+    emb_fn.from_device = emb_dev
 
     audio = np.asarray(synth_speaker_hour(minutes), np.float32)
     box = [None]

@@ -60,9 +60,12 @@ def mel_banks(n_mels: int = 80, n_fft: int = N_FFT, sr: int = SAMPLE_RATE,
 
 @functools.lru_cache(maxsize=4)
 def _tables(n_mels: int):
+    # numpy, not jnp: fbank is also traced inside jit (onnx_nets fuses
+    # fbank+CMN+net into one program), and a jnp constant created during a
+    # trace is a tracer — caching it would leak it across traces.
     return (
-        jnp.asarray(povey_window()),
-        jnp.asarray(mel_banks(n_mels).T),  # [257, n_mels]
+        povey_window().astype(np.float32),
+        mel_banks(n_mels).T.copy(),  # [257, n_mels]
     )
 
 

@@ -546,6 +546,38 @@ def _diarize_fused_frontend(
 # Orchestration (diarization.rs:274-409)
 # ---------------------------------------------------------------------------
 
+def _diarize_device_nets(
+    audio: np.ndarray, merge_gap: float,
+    segmentation_fn: Callable, embedding_fn: Callable, mesh=None,
+) -> Tuple[List[VadSegment], List[VadSegment], np.ndarray]:
+    """One-upload frontend for REAL nets (ONNX-executor runners or native
+    ports) that advertise `.from_device`: the recording is quantized to
+    int16 once (exact for 16-bit product sources — the reference feeds the
+    nets i16 PCM, diarization.rs:85-93), uploaded once, and segmentation
+    windows + embedding chunks are formed on the device from that array.
+    The host path re-uploads the recording twice (~460 MB/hour of f32
+    windows + chunks); this path moves ~115 MB/hour. Decode/merge/chunk
+    semantics are the shared host helpers, unchanged."""
+    import jax
+
+    from . import diar_device as dd
+
+    n = audio.shape[0]
+    pad_to = dd.pad_length(n)
+    with dd.QUANT_LOCK:
+        q = dd.quantize_i16(audio, pad_to)
+        dev = jax.device_put(q)
+        logits = np.asarray(segmentation_fn.from_device(dev))  # forces upload
+    merged = _runs_from_logits(logits, n, merge_gap)
+    segments = _segments_from_runs(merged, audio)
+    if not segments:
+        return [], [], np.zeros((0, 0), np.float32)
+    chunks = chunk_segments(segments)
+    ranges = [(c.offset, c.offset + len(c.samples)) for c in chunks]
+    embeddings = np.asarray(embedding_fn.from_device(dev, ranges))
+    return segments, chunks, embeddings
+
+
 def diarize(
     audio: np.ndarray,
     sample_rate: int = SAMPLE_RATE,
@@ -562,11 +594,12 @@ def diarize(
     audio = np.asarray(audio, np.float32)
 
     fused = None
+    device_ok = (audio.shape[0] >= FUSED_MIN_SAMPLES
+                 and os.environ.get("CRISPY_DIAR_FUSED", "on") != "off")
     if (
         segmentation_fn is energy_vad_logits
         and embedding_fn is melstats_embedding
-        and audio.shape[0] >= FUSED_MIN_SAMPLES
-        and os.environ.get("CRISPY_DIAR_FUSED", "on") != "off"
+        and device_ok
     ):
         try:
             fused = _diarize_fused_frontend(audio, merge_gap, mesh)
@@ -577,6 +610,22 @@ def diarize(
 
             logging.getLogger(__name__).warning(
                 "fused diarization frontend failed (%s); using host path", e)
+    elif (
+        device_ok
+        and hasattr(segmentation_fn, "from_device")
+        and hasattr(embedding_fn, "from_device")
+    ):
+        try:
+            fused = _diarize_device_nets(
+                audio, merge_gap, segmentation_fn, embedding_fn, mesh)
+        except (TypeError, AttributeError, NameError):
+            raise  # programming errors must fail loudly, not demote to host
+        except Exception as e:  # pragma: no cover - defensive fallback
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "device-net diarization frontend failed (%s); using host path",
+                e)
     if fused is not None:
         segments, chunks, embeddings = fused
         if not segments:

@@ -31,14 +31,14 @@ def segmentation_runner(path) -> Callable[[np.ndarray], np.ndarray]:
     logits [B, 589, 7]; rank is introspected so a [B, T] export also works.
     """
     import jax
+    import jax.numpy as jnp
 
     runner = OnnxRunner.load(path).validate()
     name, _, shape = _first_input(runner)
     rank = len(shape) if shape else 3
     big = runner.lift_big_params()
 
-    @jax.jit
-    def fn(windows, params):
+    def _forward(windows, params):
         x = windows[:, None, :] if rank == 3 else windows
         out = runner(params, **{name: x})
         y = out[runner.output_names[0]]
@@ -46,9 +46,21 @@ def segmentation_runner(path) -> Callable[[np.ndarray], np.ndarray]:
             y = y[None]
         return y
 
+    fn = jax.jit(_forward)
+
+    @jax.jit
+    def fn_flat(x16, params):
+        # one-upload path: the flat int16 recording is already resident on
+        # the device; windows are a free reshape there (engine/diarization
+        # uploads it once and runs segmentation + embedding off the same
+        # array — the host path re-uploads ~230 MB/hour of f32 windows)
+        x = x16.astype(jnp.float32) * (1.0 / 32768.0)
+        return _forward(x.reshape(-1, 160000), params)
+
     def call(windows: np.ndarray) -> np.ndarray:
         return np.asarray(fn(windows.astype(np.float32), big))
 
+    call.from_device = lambda dev_i16: np.asarray(fn_flat(dev_i16, big))
     return call
 
 
@@ -72,8 +84,30 @@ def embedding_runner(path, feat_dim: int = 80) -> Callable[[Sequence[np.ndarray]
     big = runner.lift_big_params()
 
     @jax.jit
-    def run_feats(feats, params):
-        out = runner(params, **{name: feats})
+    def run_audio(audio, params):
+        # fbank + CMN + net in ONE compiled program: features stay on the
+        # device between stages. (Computing fbank on-device, pulling the
+        # [B, T, 80] feature tensor to the host for the mean-subtract, and
+        # re-uploading it measured 2x slower end-to-end over the hour
+        # pipeline — a ~230 MB round trip per 900-chunk batch.)
+        feats = fbank(audio, feat_dim)
+        # WeSpeaker applies per-utterance CMN (subtract feature mean)
+        feats = feats - jnp.mean(feats, axis=1, keepdims=True)
+        out = runner(params, **{name: feats.astype(jnp.float32)})
+        return out[runner.output_names[0]]
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run_slices(x16, starts, L, params):
+        # one-upload path: chunks are dynamic slices of the device-resident
+        # int16 recording — no per-chunk host audio crosses the link
+        audio = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(x16, (s,), (L,)))(starts)
+        audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
+        feats = fbank(audio, feat_dim)
+        feats = feats - jnp.mean(feats, axis=1, keepdims=True)
+        out = runner(params, **{name: feats.astype(jnp.float32)})
         return out[runner.output_names[0]]
 
     def call(segments: Sequence[np.ndarray]) -> np.ndarray:
@@ -86,12 +120,32 @@ def embedding_runner(path, feat_dim: int = 80) -> Callable[[Sequence[np.ndarray]
         out: List[np.ndarray] = [None] * len(segments)  # type: ignore
         for _n, idxs in buckets.items():
             audio = np.stack([np.asarray(segments[i], np.float32) for i in idxs])
-            feats = np.asarray(fbank(jnp.asarray(audio), feat_dim))
-            # WeSpeaker applies per-utterance CMN (subtract feature mean)
-            feats = feats - feats.mean(axis=1, keepdims=True)
-            embs = np.asarray(run_feats(feats.astype(np.float32), big))
+            embs = np.asarray(run_audio(jnp.asarray(audio), big))
             for j, i in enumerate(idxs):
                 out[i] = embs[j]
         return np.stack(out).astype(np.float32)
+
+    def from_device(dev_i16, ranges) -> np.ndarray:
+        """[(sample_start, sample_end)] chunk ranges over the device-resident
+        flat int16 recording → [N, D] embeddings. Batch counts bucket to
+        powers of two so chunk populations reuse compiled programs."""
+        if not len(ranges):
+            return np.zeros((0, 0), np.float32)
+        buckets: dict = {}
+        for i, (a, b) in enumerate(ranges):
+            buckets.setdefault(int(b - a), []).append(i)
+        out: List[np.ndarray] = [None] * len(ranges)  # type: ignore
+        for L, idxs in buckets.items():
+            k = len(idxs)
+            npad = 1 << (k - 1).bit_length()
+            starts = np.zeros(npad, np.int32)
+            starts[:k] = [ranges[i][0] for i in idxs]
+            embs = np.asarray(run_slices(dev_i16, jnp.asarray(starts), L, big))
+            for j, i in enumerate(idxs):
+                out[i] = embs[j]
+        return np.stack(out).astype(np.float32)
+
+    call.from_device = from_device
+    return call
 
     return call

@@ -142,3 +142,25 @@ def test_diarization_with_campplus_embeddings():
     audio = np.concatenate([a, gap, b, gap, a[: 2 * sr]])
     segs = diarize(audio, sr, max_speakers=3, embedding_fn=m)
     assert segs and all(s.speaker.startswith("Speaker") for s in segs)
+
+
+def test_from_device_matches_host_batch(model):
+    """One-upload path: chunks sliced on-device from a flat i16 recording
+    match the host path fed the identical dequantized samples."""
+    import jax
+    import jax.numpy as jnp
+
+    sr = 16000
+    audio = np.concatenate([_tone([220, 1200], 3.0, seed=1),
+                            _tone([500, 2400], 2.5, seed=2),
+                            _tone([300, 900], 4.0, seed=3)])
+    pad_to = len(audio) + sr  # trailing slack so a 4 s slice never clips
+    q = np.zeros(pad_to, np.int16)
+    q[:len(audio)] = np.clip(np.round(audio * 32768.0), -32768, 32767)
+    deq = q.astype(np.float32) / 32768.0
+    ranges = [(0, 3 * sr), (3 * sr, int(5.5 * sr)), (int(5.5 * sr), len(audio))]
+
+    host = model([deq[a:b] for a, b in ranges])
+    dev = model.from_device(jax.device_put(jnp.asarray(q)), ranges)
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(dev, host, rtol=2e-4, atol=2e-5)

@@ -136,3 +136,43 @@ def test_run_diarization_fallback_emits_event(tmp_path):
     evs = [p for e, p in bus.history if e == "diarization-fallback"]
     assert evs and evs[0]["net"] == "segmentation"
     assert "TotallyCustomOp" in evs[0]["error"]
+
+
+def test_device_net_frontend_matches_host_path(tmp_path, monkeypatch):
+    """One-upload device frontend (executor nets off a device-resident i16
+    recording) produces the same speaker segments as the host re-upload
+    path. Input audio is i16-exact so the quantized upload is lossless."""
+    from crispy_tpu.models.onnx_nets import embedding_runner, segmentation_runner
+
+    seg_fn = segmentation_runner(make_segmentation_onnx(tmp_path / "seg.onnx"))
+    emb_fn = embedding_runner(make_embedding_onnx(tmp_path / "emb.onnx"))
+    assert hasattr(seg_fn, "from_device") and hasattr(emb_fn, "from_device")
+
+    sr = 16000
+    rng = np.random.default_rng(7)
+    audio = np.zeros(sr * 150, np.float32)  # ≥ FUSED_MIN_SAMPLES (120 s)
+    for a, b, f in [(5, 40, 150), (50, 85, 260), (95, 145, 150)]:
+        t = np.arange((b - a) * sr) / sr
+        seg = 0.4 * np.sin(2 * np.pi * f * t) * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))
+        audio[a * sr: b * sr] = seg + 0.01 * rng.standard_normal(len(t))
+    audio = np.round(audio * 32768.0).clip(-32768, 32767) / np.float32(32768.0)
+    audio = audio.astype(np.float32)
+
+    monkeypatch.setenv("CRISPY_DIAR_FUSED", "off")
+    host = dz.diarize(audio, sr, max_speakers=4, merge_gap=1.0,
+                      segmentation_fn=seg_fn, embedding_fn=emb_fn)
+    monkeypatch.setenv("CRISPY_DIAR_FUSED", "on")
+    calls = []
+    real = dz._diarize_device_nets
+
+    def spy(*a, **k):
+        out = real(*a, **k)
+        calls.append(len(out[1]))
+        return out
+
+    monkeypatch.setattr(dz, "_diarize_device_nets", spy)
+    dev = dz.diarize(audio, sr, max_speakers=4, merge_gap=1.0,
+                     segmentation_fn=seg_fn, embedding_fn=emb_fn)
+    assert calls, "device-net frontend was not taken"
+    assert [(s.start, s.end, s.speaker) for s in dev] == \
+        [(s.start, s.end, s.speaker) for s in host]

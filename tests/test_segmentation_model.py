@@ -41,3 +41,22 @@ def test_plugs_into_segment_speech():
     # random weights give arbitrary (but valid) segmentations
     for s in segs:
         assert 0.0 <= s.start <= s.end <= 3.0 + 1e-6
+
+
+def test_from_device_matches_host_windows():
+    """One-upload path: window logits from a flat i16 device recording match
+    the host window batch fed identical dequantized samples."""
+    import jax
+    import jax.numpy as jnp
+
+    from crispy_tpu.models.segmentation import SegmentationModel, init_random
+
+    model = SegmentationModel(init_random(seed=3))
+    rng = np.random.default_rng(11)
+    q = (rng.standard_normal(3 * 160000) * 3000).astype(np.int16)
+    deq = q.astype(np.float32) / 32768.0
+
+    host = model(deq.reshape(3, 160000))
+    dev = model.from_device(jax.device_put(jnp.asarray(q)))
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(dev, host, rtol=2e-4, atol=2e-5)
