@@ -19,6 +19,9 @@ carries the remaining BASELINE configs measured in the same run:
     same audio, minutes-long input.
   * onnx_asr_rtf — the ONNX-executor ASR route (12 of 13 catalog models):
     an int8 bundle at parakeet-tdt-0.6b-v3 dims through OnnxTdtEngine.
+  * onnx_asr_device_rtf — same engine with device-resident chunks
+    (run_transcription's wiring); the delta to onnx_asr_rtf is the
+    tunnel's per-call chunk-upload tax.
   * transcribe_file_ladder_off_x — the file pipeline at temp-0 only (the
     rung real weights take), companion to the worst-case-ladder floor.
   * diarization_builtin_x_realtime — subsystem D end-to-end with the
@@ -537,7 +540,12 @@ def bench_onnx_asr(B=8, cache_dir="/tmp/crispy_bench_parakeet_v2"):
     ~20-40 MB/s tunnel before a ~0.2 s device step, so per-call wall time
     is transfer-dominated and swings with tunnel weather (docs/PERF.md
     itemization); the median is the honest harness number and sits well
-    above the on-device cost a locally-attached chip would see."""
+    above the on-device cost a locally-attached chip would see.
+    `onnx_asr_device_rtf` is the companion with chunks already device-
+    resident — the wiring run_transcription actually uses since the
+    device-resident file pipeline (resample_poly device_out feeds device
+    chunk batches straight to the engine), isolating the machine from
+    the link."""
     import numpy as np
 
     from crispy_tpu.engine.onnx_engines import OnnxTdtEngine
@@ -550,6 +558,32 @@ def bench_onnx_asr(B=8, cache_dir="/tmp/crispy_bench_parakeet_v2"):
 
     def step():
         box[0] = eng.transcribe_batch(chunks)  # host strings: inherent sync
+
+    dt, spread = _timeit_median(step, lambda: None, reps=5, inner=1)
+    return dt / (B * 30.0), spread  # RTF
+
+
+def bench_onnx_asr_device(B=8, cache_dir="/tmp/crispy_bench_parakeet_v2"):
+    """onnx_asr_device_rtf: the same executor TDT engine and bundle as
+    onnx_asr_rtf, but with the chunk batch pre-placed on the device —
+    run_transcription's wiring (its chunks arrive device-resident from
+    the device file pipeline). Measures the executor+decode step itself;
+    the delta to onnx_asr_rtf is the tunnel's 15 MB/call upload tax."""
+    import jax
+    import numpy as np
+
+    from crispy_tpu.engine.onnx_engines import OnnxTdtEngine
+
+    bundle = _parakeet_bundle(cache_dir)
+    eng = OnnxTdtEngine(bundle, model_id="parakeet-v3-bench")
+    rng = np.random.default_rng(0)
+    dev_chunks = jax.device_put(
+        (rng.standard_normal((B, 480000)) * 0.2).astype(np.float32))
+    jax.block_until_ready(dev_chunks)
+    box = [None]
+
+    def step():
+        box[0] = eng.transcribe_batch(dev_chunks)  # host strings: sync
 
     dt, spread = _timeit_median(step, lambda: None, reps=5, inner=1)
     return dt / (B * 30.0), spread  # RTF
@@ -686,6 +720,7 @@ WEIGHTS_TAGS = {
     "whisper_base_rtf": "random (real shapes via from_ggml; egress-blocked)",
     "whisper_tiny_rtf": "random (real shapes via from_ggml; egress-blocked)",
     "onnx_asr_rtf": "random (parakeet-v3 int8 shapes; egress-blocked)",
+    "onnx_asr_device_rtf": "random (parakeet-v3 int8 shapes; egress-blocked)",
     "transcribe_file_x_realtime": "random whisper-tiny (worst-case ladder floor)",
     "transcribe_file_ladder_off_x": "random whisper-tiny (temp-0 only)",
     "concurrent_denoise_asr_rtf": "shipped denoiser + random whisper-tiny",
@@ -705,6 +740,7 @@ def main():
         ("whisper_base_rtf", lambda: bench_whisper("base")),
         ("whisper_tiny_rtf", lambda: bench_whisper("tiny")),
         ("onnx_asr_rtf", bench_onnx_asr),
+        ("onnx_asr_device_rtf", bench_onnx_asr_device),
         ("logmel_x_realtime", bench_logmel),
         ("resample_mix_x_realtime", bench_resample_mix),
         ("resample_mix_tpu_x", bench_resample_mix_tpu),
