@@ -409,16 +409,16 @@ def bench_diarization_staged(minutes=60):
     # one-upload variants: the real nets consume the device-resident i16
     # recording; decode structure comes from the device energy-VAD margins
     # (pinned equal to the host energy_vad_logits by the fused-path tests)
-    def seg_dev(dev):
-        real = seg_model.from_device(dev)                       # [W, F, 7]
-        m = dd.segmentation_margins(dev, int(dev.shape[0]))     # [W, F']
+    def seg_dev(dev, mesh=None):
+        real = seg_model.from_device(dev, mesh=mesh)            # [W, F, 7]
+        m = dd.segmentation_margins(dev, int(dev.shape[0]), mesh)  # [W, F']
         ev = np.stack([-m, m], axis=-1)
         f = min(real.shape[1], ev.shape[1])
         return ev[:, :f] + 0.0 * real[:, :f, :2]
 
-    def emb_dev(dev, ranges):
-        real = np.asarray(emb_model.from_device(dev, ranges))   # [N, E]
-        stand = dd.chunk_stats(dev, int(dev.shape[0]), list(ranges))
+    def emb_dev(dev, ranges, mesh=None):
+        real = np.asarray(emb_model.from_device(dev, ranges, mesh=mesh))
+        stand = dd.chunk_stats(dev, int(dev.shape[0]), list(ranges), mesh)
         reps = -(-real.shape[1] // stand.shape[1])
         tiled = np.tile(stand, (1, reps))[:, :real.shape[1]]
         return tiled + 0.0 * real
@@ -493,16 +493,16 @@ def bench_diarization_exec(minutes=60):
         return tiled + 0.0 * real
 
     # one-upload variants (same trick as bench_diarization_staged)
-    def seg_dev(dev):
-        real = seg_exec.from_device(dev)                     # [W, 589, 7]
-        m = dd.segmentation_margins(dev, int(dev.shape[0]))  # [W, F']
+    def seg_dev(dev, mesh=None):
+        real = seg_exec.from_device(dev, mesh=mesh)          # [W, 589, 7]
+        m = dd.segmentation_margins(dev, int(dev.shape[0]), mesh)  # [W, F']
         ev = np.stack([-m, m], axis=-1)
         f = min(real.shape[1], ev.shape[1])
         return ev[:, :f] + 0.0 * real[:, :f, :2]
 
-    def emb_dev(dev, ranges):
-        real = np.asarray(emb_exec.from_device(dev, ranges))  # [N, 192]
-        stand = dd.chunk_stats(dev, int(dev.shape[0]), list(ranges))
+    def emb_dev(dev, ranges, mesh=None):
+        real = np.asarray(emb_exec.from_device(dev, ranges, mesh=mesh))
+        stand = dd.chunk_stats(dev, int(dev.shape[0]), list(ranges), mesh)
         reps = -(-real.shape[1] // stand.shape[1])
         tiled = np.tile(stand, (1, reps))[:, :real.shape[1]]
         return tiled + 0.0 * real

@@ -566,15 +566,21 @@ def _diarize_device_nets(
     pad_to = dd.pad_length(n)
     with dd.QUANT_LOCK:
         q = dd.quantize_i16(audio, pad_to)
-        dev = jax.device_put(q)
-        logits = np.asarray(segmentation_fn.from_device(dev))  # forces upload
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            dev = jax.device_put(q, NamedSharding(mesh, PartitionSpec()))
+        else:
+            dev = jax.device_put(q)
+        # forces the upload while the quantize scratch is still locked
+        logits = np.asarray(segmentation_fn.from_device(dev, mesh=mesh))
     merged = _runs_from_logits(logits, n, merge_gap)
     segments = _segments_from_runs(merged, audio)
     if not segments:
         return [], [], np.zeros((0, 0), np.float32)
     chunks = chunk_segments(segments)
     ranges = [(c.offset, c.offset + len(c.samples)) for c in chunks]
-    embeddings = np.asarray(embedding_fn.from_device(dev, ranges))
+    embeddings = np.asarray(embedding_fn.from_device(dev, ranges, mesh=mesh))
     return segments, chunks, embeddings
 
 

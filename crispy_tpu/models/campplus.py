@@ -266,7 +266,7 @@ class CamPPlusModel:
         self.cfg = cfg
         self.name = name
         self._max_frames = 1 + (_MAX_SAMPLES - FRAME_LENGTH) // FRAME_SHIFT
-        self._jit_slices = None  # built on first from_device call
+        self._jit_slices: Dict = {}  # per-mesh, built on first from_device call
 
     def __call__(self, segments: Sequence[np.ndarray]) -> np.ndarray:
         n = len(segments)
@@ -280,26 +280,35 @@ class CamPPlusModel:
         out = forward(self.params, self.cfg, feats, jnp.asarray(n_valid))
         return np.asarray(out)
 
-    def _slices_forward(self, dev_i16, starts, n_valid):
-        audio = jax.vmap(
-            lambda s: lax.dynamic_slice(dev_i16, (s,), (_MAX_SAMPLES,)))(starts)
-        x = audio.astype(jnp.float32) * (1.0 / 32768.0)
-        feats = fbank(x, self.cfg.feat_dim)[:, :self._max_frames]
-        # frames past n_valid read neighboring audio instead of the host
-        # path's zero padding; every pooled statistic and conv stage in
-        # forward() masks them, so the valid rows are identical
-        return forward(self.params, self.cfg, feats, n_valid)
+    def _slices_forward(self, mesh):
+        def f(dev_i16, starts, n_valid):
+            audio = jax.vmap(
+                lambda s: lax.dynamic_slice(dev_i16, (s,), (_MAX_SAMPLES,)))(starts)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
 
-    def from_device(self, dev_i16, ranges) -> np.ndarray:
+                audio = jax.lax.with_sharding_constraint(
+                    audio, NamedSharding(mesh, PartitionSpec("data", None)))
+            x = audio.astype(jnp.float32) * (1.0 / 32768.0)
+            feats = fbank(x, self.cfg.feat_dim)[:, :self._max_frames]
+            # frames past n_valid read neighboring audio instead of the host
+            # path's zero padding; every pooled statistic and conv stage in
+            # forward() masks them, so the valid rows are identical
+            return forward(self.params, self.cfg, feats, n_valid)
+
+        return f
+
+    def from_device(self, dev_i16, ranges, mesh=None) -> np.ndarray:
         """One-upload path: [(sample_start, sample_end)] chunk ranges over a
         device-resident flat int16 recording → [N, E] embeddings, audio
         sliced on the device (no per-chunk host upload). Batch counts
-        bucket to powers of two to bound compiled shapes."""
+        bucket to powers of two to bound compiled shapes; with a mesh the
+        chunk batch shards over 'data'."""
         n = len(ranges)
         if n == 0:
             return np.zeros((0, self.cfg.embedding_size), np.float32)
-        if self._jit_slices is None:
-            self._jit_slices = jax.jit(self._slices_forward)
+        if mesh not in self._jit_slices:
+            self._jit_slices[mesh] = jax.jit(self._slices_forward(mesh))
         npad = 1 << (n - 1).bit_length()
         starts = np.zeros(npad, np.int32)
         n_valid = np.zeros(npad, np.int32)
@@ -307,7 +316,8 @@ class CamPPlusModel:
             starts[i] = a
             ln = min(int(b - a), _MAX_SAMPLES)
             n_valid[i] = max(0, 1 + (ln - FRAME_LENGTH) // FRAME_SHIFT)
-        out = self._jit_slices(dev_i16, jnp.asarray(starts), jnp.asarray(n_valid))
+        out = self._jit_slices[mesh](
+            dev_i16, jnp.asarray(starts), jnp.asarray(n_valid))
         return np.asarray(out)[:n]
 
 

@@ -47,20 +47,37 @@ def segmentation_runner(path) -> Callable[[np.ndarray], np.ndarray]:
         return y
 
     fn = jax.jit(_forward)
+    flat_jits: dict = {}
 
-    @jax.jit
-    def fn_flat(x16, params):
+    def _fn_flat(mesh):
         # one-upload path: the flat int16 recording is already resident on
         # the device; windows are a free reshape there (engine/diarization
         # uploads it once and runs segmentation + embedding off the same
-        # array — the host path re-uploads ~230 MB/hour of f32 windows)
-        x = x16.astype(jnp.float32) * (1.0 / 32768.0)
-        return _forward(x.reshape(-1, 160000), params)
+        # array — the host path re-uploads ~230 MB/hour of f32 windows).
+        # With a mesh the window axis shards over 'data' (SPMD: each chip
+        # segments its own stretch of the recording).
+        @jax.jit
+        def f(x16, params):
+            x = x16.astype(jnp.float32) * (1.0 / 32768.0)
+            w = x.reshape(-1, 160000)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                w = jax.lax.with_sharding_constraint(
+                    w, NamedSharding(mesh, PartitionSpec("data", None)))
+            return _forward(w, params)
+
+        return f
 
     def call(windows: np.ndarray) -> np.ndarray:
         return np.asarray(fn(windows.astype(np.float32), big))
 
-    call.from_device = lambda dev_i16: np.asarray(fn_flat(dev_i16, big))
+    def from_device(dev_i16, mesh=None) -> np.ndarray:
+        if mesh not in flat_jits:
+            flat_jits[mesh] = _fn_flat(mesh)
+        return np.asarray(flat_jits[mesh](dev_i16, big))
+
+    call.from_device = from_device
     return call
 
 
@@ -98,17 +115,28 @@ def embedding_runner(path, feat_dim: int = 80) -> Callable[[Sequence[np.ndarray]
 
     import functools
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def run_slices(x16, starts, L, params):
-        # one-upload path: chunks are dynamic slices of the device-resident
-        # int16 recording — no per-chunk host audio crosses the link
-        audio = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(x16, (s,), (L,)))(starts)
-        audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
-        feats = fbank(audio, feat_dim)
-        feats = feats - jnp.mean(feats, axis=1, keepdims=True)
-        out = runner(params, **{name: feats.astype(jnp.float32)})
-        return out[runner.output_names[0]]
+    slice_jits: dict = {}
+
+    def _run_slices(mesh):
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def f(x16, starts, L, params):
+            # one-upload path: chunks are dynamic slices of the device-
+            # resident int16 recording — no per-chunk host audio crosses
+            # the link. With a mesh the chunk batch shards over 'data'.
+            audio = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(x16, (s,), (L,)))(starts)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                audio = jax.lax.with_sharding_constraint(
+                    audio, NamedSharding(mesh, PartitionSpec("data", None)))
+            audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
+            feats = fbank(audio, feat_dim)
+            feats = feats - jnp.mean(feats, axis=1, keepdims=True)
+            out = runner(params, **{name: feats.astype(jnp.float32)})
+            return out[runner.output_names[0]]
+
+        return f
 
     def call(segments: Sequence[np.ndarray]) -> np.ndarray:
         if not len(segments):
@@ -125,12 +153,15 @@ def embedding_runner(path, feat_dim: int = 80) -> Callable[[Sequence[np.ndarray]
                 out[i] = embs[j]
         return np.stack(out).astype(np.float32)
 
-    def from_device(dev_i16, ranges) -> np.ndarray:
+    def from_device(dev_i16, ranges, mesh=None) -> np.ndarray:
         """[(sample_start, sample_end)] chunk ranges over the device-resident
         flat int16 recording → [N, D] embeddings. Batch counts bucket to
         powers of two so chunk populations reuse compiled programs."""
         if not len(ranges):
             return np.zeros((0, 0), np.float32)
+        if mesh not in slice_jits:
+            slice_jits[mesh] = _run_slices(mesh)
+        run = slice_jits[mesh]
         buckets: dict = {}
         for i, (a, b) in enumerate(ranges):
             buckets.setdefault(int(b - a), []).append(i)
@@ -140,7 +171,7 @@ def embedding_runner(path, feat_dim: int = 80) -> Callable[[Sequence[np.ndarray]
             npad = 1 << (k - 1).bit_length()
             starts = np.zeros(npad, np.int32)
             starts[:k] = [ranges[i][0] for i in idxs]
-            embs = np.asarray(run_slices(dev_i16, jnp.asarray(starts), L, big))
+            embs = np.asarray(run(dev_i16, jnp.asarray(starts), L, big))
             for j, i in enumerate(idxs):
                 out[i] = embs[j]
         return np.stack(out).astype(np.float32)

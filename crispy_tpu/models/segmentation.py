@@ -105,7 +105,7 @@ class SegmentationModel:
         self.cfg = cfg
         self.name = name
         self._jit = jax.jit(self._forward)
-        self._jit_flat = None  # built on first from_device call
+        self._jit_flat: dict = {}  # per-mesh, built on first from_device call
 
     def _forward(self, wav: jnp.ndarray) -> jnp.ndarray:
         p, cfg = self.params, self.cfg
@@ -136,17 +136,24 @@ class SegmentationModel:
     def __call__(self, windows: np.ndarray) -> np.ndarray:
         return np.asarray(self._jit(jnp.asarray(np.atleast_2d(windows))))
 
-    def _forward_flat(self, x16: jnp.ndarray) -> jnp.ndarray:
-        x = x16.astype(jnp.float32) * (1.0 / 32768.0)
-        return self._forward(x.reshape(-1, 160000))
-
-    def from_device(self, dev_i16) -> np.ndarray:
+    def from_device(self, dev_i16, mesh=None) -> np.ndarray:
         """One-upload path: a device-resident flat int16 recording (padded
         to a 10 s-window multiple) → [W, 589, C] logits; windows are a free
-        reshape on the device instead of a ~230 MB/hour f32 window upload."""
-        if self._jit_flat is None:
-            self._jit_flat = jax.jit(self._forward_flat)
-        return np.asarray(self._jit_flat(dev_i16))
+        reshape on the device instead of a ~230 MB/hour f32 window upload.
+        With a mesh the window axis shards over 'data'."""
+        if mesh not in self._jit_flat:
+            def f(x16):
+                x = x16.astype(jnp.float32) * (1.0 / 32768.0)
+                w = x.reshape(-1, 160000)
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    w = jax.lax.with_sharding_constraint(
+                        w, NamedSharding(mesh, PartitionSpec("data", None)))
+                return self._forward(w)
+
+            self._jit_flat[mesh] = jax.jit(f)
+        return np.asarray(self._jit_flat[mesh](dev_i16))
 
 
 def init_random(cfg: SegmentationConfig = SegmentationConfig(), seed: int = 0) -> Dict[str, np.ndarray]:

@@ -210,3 +210,45 @@ def test_fused_diar_frontend_sharded(data_root):
     segs = dz.diarize(audio, max_speakers=4, merge_gap=0.5, mesh=mesh)
     assert len(segs) > 10
     assert 1 <= len({s.speaker for s in segs}) <= 4
+
+
+def test_device_net_diarization_sharded_matches_unsharded(tmp_path, monkeypatch):
+    """The one-upload real-net diarization frontend under a mesh (window and
+    chunk batches sharded over 'data') must produce the same speakers as the
+    unsharded run (SURVEY §2.8: production paths shard, not just demos)."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_diarization_onnx import make_embedding_onnx, make_segmentation_onnx
+
+    from crispy_tpu.engine import diarization as dz
+    from crispy_tpu.models.onnx_nets import embedding_runner, segmentation_runner
+
+    seg_fn = segmentation_runner(make_segmentation_onnx(tmp_path / "seg.onnx"))
+    emb_fn = embedding_runner(make_embedding_onnx(tmp_path / "emb.onnx"))
+
+    sr = 16000
+    rng = np.random.default_rng(3)
+    audio = np.zeros(sr * 150, np.float32)
+    for a, b, f in [(4, 42, 170), (52, 88, 300), (96, 146, 170)]:
+        t = np.arange((b - a) * sr) / sr
+        audio[a * sr: b * sr] = (0.4 * np.sin(2 * np.pi * f * t)
+                                 + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+    audio = (np.round(audio * 32768.0).clip(-32768, 32767) / 32768.0).astype(np.float32)
+
+    calls = []
+    real = dz._diarize_device_nets
+
+    def spy(*a, **k):
+        calls.append(a[-1] if not k else k.get("mesh"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(dz, "_diarize_device_nets", spy)
+    base = dz.diarize(audio, sr, max_speakers=4, merge_gap=1.0,
+                      segmentation_fn=seg_fn, embedding_fn=emb_fn)
+    mesh = parallel.make_mesh(8)
+    sharded = dz.diarize(audio, sr, max_speakers=4, merge_gap=1.0,
+                         segmentation_fn=seg_fn, embedding_fn=emb_fn, mesh=mesh)
+    assert len(calls) == 2 and calls[1] is mesh
+    assert [(s.start, s.end, s.speaker) for s in sharded] == \
+        [(s.start, s.end, s.speaker) for s in base]
