@@ -166,11 +166,26 @@ def decode_logits(params, cfg: WhisperConfig, tokens: jnp.ndarray, audio: jnp.nd
     return jnp.einsum("btd,vd->btv", x, params["dec.emb"])
 
 
+def _kv_dtype():
+    """KV cache storage dtype. Default bfloat16: the decode step is
+    HBM-bound on cache reads (cross KV alone is ~295 MB/step for base at
+    B=8 over 1500 audio frames), matmuls already multiply at bf16 on the
+    MXU at default precision, and the reference serves whisper.cpp with an
+    f16 KV cache — bf16 storage stays inside its precision envelope.
+    CRISPY_WHISPER_KV=f32 opts out (goldens under tests/ pin the bf16
+    default's tokens)."""
+    import os
+
+    return (jnp.float32 if os.environ.get("CRISPY_WHISPER_KV", "bf16") == "f32"
+            else jnp.bfloat16)
+
+
 def _init_cache(params, cfg: WhisperConfig, audio: jnp.ndarray, max_len: int):
     """Preallocate self-attn KV [L, B, H, max_len, hd]; precompute cross KV."""
     B = audio.shape[0]
     hd = cfg.n_text_state // cfg.n_text_head
-    self_k = jnp.zeros((cfg.n_text_layer, B, cfg.n_text_head, max_len, hd), jnp.float32)
+    dt = _kv_dtype()
+    self_k = jnp.zeros((cfg.n_text_layer, B, cfg.n_text_head, max_len, hd), dt)
     self_v = jnp.zeros_like(self_k)
     cross_k, cross_v = [], []
     for i in range(cfg.n_text_layer):
@@ -179,7 +194,8 @@ def _init_cache(params, cfg: WhisperConfig, audio: jnp.ndarray, max_len: int):
         v = jnp.einsum("btd,de->bte", audio, params[f"{pre}.v.w"]) + params[f"{pre}.v.b"]
         cross_k.append(_heads(k, cfg.n_text_head))
         cross_v.append(_heads(v, cfg.n_text_head))
-    return self_k, self_v, jnp.stack(cross_k), jnp.stack(cross_v)
+    return (self_k, self_v,
+            jnp.stack(cross_k).astype(dt), jnp.stack(cross_v).astype(dt))
 
 
 def _prefill(params, cfg: WhisperConfig, prompt, self_k, self_v, cross_k, cross_v):
@@ -202,8 +218,9 @@ def _prefill(params, cfg: WhisperConfig, prompt, self_k, self_v, cross_k, cross_
         v = jnp.einsum("btd,de->bte", h, params[f"{pre}.attn.v.w"]) + params[f"{pre}.attn.v.b"]
         kh = _heads(k, cfg.n_text_head)  # [B, H, P, hd]
         vh = _heads(v, cfg.n_text_head)
-        self_k = self_k.at[i, :, :, :P, :].set(kh)
-        self_v = self_v.at[i, :, :, :P, :].set(vh)
+        self_k = self_k.at[i, :, :, :P, :].set(kh.astype(self_k.dtype))
+        self_v = self_v.at[i, :, :, :P, :].set(vh.astype(self_v.dtype))
+        kh, vh = kh.astype(self_k.dtype), vh.astype(self_v.dtype)
         qh = _heads(q, cfg.n_text_head)
         logits = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, kh * scale) + mask
         w = jax.nn.softmax(logits, axis=-1)
@@ -243,8 +260,8 @@ def _decode_step(params, cfg: WhisperConfig, tok, pos, self_k, self_v, cross_k, 
         v = jnp.einsum("btd,de->bte", h, params[f"{pre}.attn.v.w"]) + params[f"{pre}.attn.v.b"]
         kh = _heads(k, cfg.n_text_head)[:, :, 0, :]  # [B, H, hd]
         vh = _heads(v, cfg.n_text_head)[:, :, 0, :]
-        self_k = self_k.at[i, :, :, pos, :].set(kh)
-        self_v = self_v.at[i, :, :, pos, :].set(vh)
+        self_k = self_k.at[i, :, :, pos, :].set(kh.astype(self_k.dtype))
+        self_v = self_v.at[i, :, :, pos, :].set(vh.astype(self_v.dtype))
         qh = _heads(q, cfg.n_text_head)  # [B, H, 1, hd]
         scale = hd ** -0.25
         logits = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, self_k[i] * scale)

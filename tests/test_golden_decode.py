@@ -62,3 +62,27 @@ def test_sample_decode_temp0_golden_matches_greedy():
                                   np.float32(0.0), jax.random.PRNGKey(0),
                                   np.int32(0), max_new=24, eot=m.cfg.eot)
     np.testing.assert_array_equal(np.asarray(toks)[:, :12], GOLDEN_GREEDY)
+
+
+def test_kv_cache_default_dtype_bf16(monkeypatch):
+    """The KV cache stores bf16 by default (the decode step is HBM-bound on
+    cache reads; measured 1.55x on chip) with CRISPY_WHISPER_KV=f32 as the
+    opt-out. Guard both, so an accidental upcast anywhere in the cache
+    plumbing shows up as a dtype flip here rather than a silent 1.5x
+    regression on the chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from crispy_tpu.models.whisper import WhisperModel
+    from crispy_tpu.models.whisper.model import _init_cache
+
+    m = WhisperModel.random("test-random", seed=0)
+    audio = jnp.zeros((1, 8, m.cfg.n_audio_state), jnp.float32)
+
+    monkeypatch.delenv("CRISPY_WHISPER_KV", raising=False)
+    shapes = jax.eval_shape(lambda a: _init_cache(m.params, m.cfg, a, 16), audio)
+    assert all(s.dtype == jnp.bfloat16 for s in shapes)
+
+    monkeypatch.setenv("CRISPY_WHISPER_KV", "f32")
+    shapes = jax.eval_shape(lambda a: _init_cache(m.params, m.cfg, a, 16), audio)
+    assert all(s.dtype == jnp.float32 for s in shapes)
