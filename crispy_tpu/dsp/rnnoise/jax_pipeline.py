@@ -256,6 +256,17 @@ def make_params(model: Optional[RNNoiseModel] = None) -> Dict[str, jnp.ndarray]:
     t["half_window"] = C.half_window()
     t["band_e"] = C.band_energy_matrix().T  # [481, 22] for e @ W
     t["band_interp"] = C.band_interp_matrix().T  # [22, 481] for g @ W
+    # Packed (re‖im) tables for the default XLA path (see _use_packed_mid):
+    # one [962, 960] synthesis dot instead of two [481, 960] dots + add;
+    # packed xcorr inverses likewise. band_interp duplicated across both
+    # halves applies per-frequency gains directly on the packed layout
+    # (identical values per column — pure layout, no math change).
+    t["dft_inv"] = np.concatenate([t["dft_inv_re"], t["dft_inv_im"]], axis=0)
+    for tag in ("c4", "c2"):
+        t[f"ci_{tag}"] = np.concatenate(
+            [t[f"ci_{tag}_re"], t[f"ci_{tag}_im"]], axis=0)
+    t["band_interp_ri"] = np.concatenate(
+        [t["band_interp"], t["band_interp"]], axis=1)  # [22, 962]
     # Fused-frontend tables (pallas_frontend): the padded [.., 1024]
     # spectrum layout (re 0..480, im 512..992) keeps every slice
     # 128-lane aligned; band/interp tables duplicated across both halves
@@ -525,6 +536,16 @@ def _cross_corr(params, x, y, tagx, tagy, tagc, nlags):
         yr, yi = yri[..., :ky], yri[..., ky:]
         cr = xr * yr + xi * yi  # conj(X) * Y
         ci = xr * yi - xi * yr
+        if _use_packed_mid():
+            # One packed [2k, lags] dot: the split form lowered to FOUR
+            # kOutput fusions that each re-read the [.., 2k] transforms
+            # (~360 MB/block at S=128, F=100 — tools/tpu_denoise_traffic).
+            # Accumulation regroups (one 2k-sum vs two k-sums added):
+            # ~1e-7 relative, far inside the pitch path's decision margins.
+            cri = jnp.concatenate([cr, ci], axis=-1)
+            full = jnp.einsum("...k,ki->...i", cri, params[f"ci_{tagc}"],
+                              precision=prec)
+            return full[..., :nlags]
         full = (
             jnp.einsum("...k,ki->...i", cr, params[f"ci_{tagc}_re"], precision=prec)
             + jnp.einsum("...k,ki->...i", ci, params[f"ci_{tagc}_im"], precision=prec)
@@ -735,6 +756,21 @@ def _use_radix_dft() -> bool:
             and os.environ.get("CRISPY_RADIX_DFT", "off") == "on")
 
 
+def _use_packed_mid() -> bool:
+    """Packed (re‖im) spectrum layout through the default XLA path's
+    mid-section: the analysis DFT already emits [.., 962] packed; carrying
+    it packed through the pitch filter + gain stage and synthesizing with
+    ONE [962, 960] HIGHEST dot (instead of two [481, 960] dots + add)
+    removes several ~50 MB HBM passes per block (tools/tpu_denoise_traffic:
+    the split synthesis alone was 246 MB of fusion traffic at S=128,
+    F=100). Elementwise math is identical (per-frequency gains duplicated
+    across both halves); only the synthesis/xcorr dot accumulation
+    regroups (~1e-7 relative). CRISPY_PACKED_MID=off restores the split
+    lowering (kept for in-graph A/Bs)."""
+    return (_use_matmul_dft()
+            and os.environ.get("CRISPY_PACKED_MID", "on") != "off")
+
+
 def _use_fused_spectra() -> bool:
     """OPT-IN fused Pallas spectra kernels (pallas_frontend): ~+10%
     denoise throughput, but Mosaic's single-pass f32 matmul relaxes
@@ -745,14 +781,20 @@ def _use_fused_spectra() -> bool:
             and os.environ.get("CRISPY_FUSED_SPECTRA", "off") == "on")
 
 
+def _spectrum_ri(params, frames: jnp.ndarray) -> jnp.ndarray:
+    """frames [.., 960] → PACKED windowed DFT [.., 962] (re 0..480 ‖ im
+    481..961) — the matmul path's native output layout. Bit-identical to
+    `_spectrum`'s halves (which are slices of this very dot)."""
+    if _use_radix_dft():
+        return rdft.apply_fwd(params, "rx_dft", frames, NFREQ)
+    return jnp.einsum("...n,nk->...k", frames, params["dft_fwd"],
+                      precision=_HIGH)
+
+
 def _spectrum(params, frames: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """frames [.., 960] → windowed DFT (re, im) [.., 481], RNNoise 1/N scaling."""
     if _use_matmul_dft():
-        if _use_radix_dft():
-            ri = rdft.apply_fwd(params, "rx_dft", frames, NFREQ)
-        else:
-            ri = jnp.einsum("...n,nk->...k", frames, params["dft_fwd"],
-                            precision=_HIGH)
+        ri = _spectrum_ri(params, frames)
         return ri[..., :NFREQ], ri[..., NFREQ:]
     hw = params["half_window"]
     w = jnp.concatenate([hw, hw[::-1]])
@@ -926,6 +968,7 @@ def frontend_block(params, state, block: jnp.ndarray):
             ext[:, 1 + HIST - FRAME:], params["dft_fwd_a512"],
             params["dft_fwd_b512"], params["band_e_pad"], F)
         Xr, Xi = Y[..., :NFREQ], Y[..., 512: 512 + NFREQ]
+        Yri = None
     else:
         # Analysis spectra: window f covers ext[769 + f*480 : +960]. Each
         # _spectrum call is ONE fused (re‖im) DFT matmul; concatenating awin
@@ -933,7 +976,12 @@ def frontend_block(params, state, block: jnp.ndarray):
         # copy it materializes costs more HBM than the saved dispatch.
         Y = None
         awin = _windows(ext[:, 1 + HIST - FRAME:], FRAME, WIN, F)  # [S, F, 960]
-        Xr, Xi = _spectrum(params, awin)
+        if _use_packed_mid():
+            Yri = _spectrum_ri(params, awin)  # carried packed to the gain stage
+            Xr, Xi = Yri[..., :NFREQ], Yri[..., NFREQ:]
+        else:
+            Yri = None
+            Xr, Xi = _spectrum(params, awin)
         Ex = _band_energy(params, Xr, Xi)
 
     # Pitch.
@@ -957,7 +1005,12 @@ def frontend_block(params, state, block: jnp.ndarray):
                          precision=_HIGH) / jnp.sqrt(0.001 + Ex * Ep)
     else:
         P = None
-        Pr, Pi = _spectrum(params, pwin)
+        if Yri is not None:
+            Pri = _spectrum_ri(params, pwin)
+            Pr, Pi = Pri[..., :NFREQ], Pri[..., NFREQ:]
+        else:
+            Pri = None
+            Pr, Pi = _spectrum(params, pwin)
         Ep = _band_energy(params, Pr, Pi)
         Exp = _band_corr(params, Xr, Xi, Pr, Pi) / jnp.sqrt(0.001 + Ex * Ep)
 
@@ -990,6 +1043,8 @@ def frontend_block(params, state, block: jnp.ndarray):
         "Exp": Exp, "feats": feats, "silence": silence,
         # padded-layout spectra (fused path only; None otherwise)
         "Y": Y, "P": P,
+        # packed [.., 962] spectra (default path with _use_packed_mid)
+        "Yri": Yri, "Pri": Pri if Yri is not None else None,
     }
 
 
@@ -1043,6 +1098,30 @@ def denoise_block(params, state, block: jnp.ndarray):
             Xo.shape[1])
         state["syn_mem"] = new_mem
         return state, (out / 32768.0).reshape(S, L), vad
+
+    if fr["Yri"] is not None:
+        # Packed mid-section (default TPU path): identical elementwise math
+        # on the [.., 962] layout (interp tables duplicated across halves),
+        # ONE packed synthesis dot. See _use_packed_mid.
+        Yri, Pri = fr["Yri"], fr["Pri"]
+        rf = jnp.einsum("...b,bq->...q", r, params["band_interp_ri"],
+                        precision=_HIGH)
+        Xp = Yri + rf * Pri
+        newE = _band_energy(params, Xp[..., :NFREQ], Xp[..., NFREQ:])
+        norm = jnp.sqrt(Ex / (1e-8 + newE))
+        gain_all = (
+            jnp.einsum("...b,bq->...q", norm, params["band_interp_ri"],
+                       precision=_HIGH)
+            * jnp.einsum("...b,bq->...q", gsmooth, params["band_interp_ri"],
+                         precision=_HIGH))
+        Xo = jnp.where(keep, Yri, Xp * gain_all)
+        xt = jnp.einsum("...k,kn->...n", Xo, params["dft_inv"],
+                        precision=_HIGH)
+        tails = jnp.concatenate(
+            [state["syn_mem"][:, None, :], xt[:, :-1, FRAME:]], axis=1)
+        out = (xt[..., :FRAME] + tails) / 32768.0
+        state["syn_mem"] = xt[:, -1, FRAME:]
+        return state, out.reshape(S, L), vad
 
     rf = _interp_gain(params, r)
     Xpr, Xpi = Xr + rf * Pr, Xi + rf * Pi
