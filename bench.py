@@ -718,6 +718,7 @@ WEIGHTS_TAGS = {
     # must not mistake stand-in throughput for product throughput)
     "rnnoise_denoise_realtime_factor_per_chip": "shipped (trained builtin artifact)",
     "whisper_base_rtf": "random (real shapes via from_ggml; egress-blocked)",
+    "whisper_base_rtf_b16": "random (real shapes via from_ggml; egress-blocked)",
     "whisper_tiny_rtf": "random (real shapes via from_ggml; egress-blocked)",
     "onnx_asr_rtf": "random (parakeet-v3 int8 shapes; egress-blocked)",
     "onnx_asr_device_rtf": "random (parakeet-v3 int8 shapes; egress-blocked)",
@@ -738,6 +739,10 @@ def main():
     for key, fn in (
         ("denoise_mfu_pct", bench_denoise_mfu),
         ("whisper_base_rtf", lambda: bench_whisper("base")),
+        # the 16-chunk bucket run_transcription actually schedules for
+        # whisper on files >4 min (EngineProtocol.decode_batch_bucket):
+        # bigger batches amortize the sequential decode scan
+        ("whisper_base_rtf_b16", lambda: bench_whisper("base", B=16)),
         ("whisper_tiny_rtf", lambda: bench_whisper("tiny")),
         ("onnx_asr_rtf", bench_onnx_asr),
         ("onnx_asr_device_rtf", bench_onnx_asr_device),

@@ -105,6 +105,28 @@ class TestPipeline:
         # exactly 3 chunk texts survive (the 4th padded row is dropped)
         assert len([w for w in text.split() if w.startswith("chunk")]) == 3
 
+    def test_large_bucket_schedule(self, setup):
+        """An engine advertising decode_batch_bucket gets big batches while
+        more than batch_chunks chunks remain (whisper's measured 16-chunk
+        amortization of the sequential decode scan), the batch_chunks
+        bucket for the tail — at most two compiled batch shapes."""
+        tm, bus, engine, tmp = setup
+        engine.decode_batch_bucket = 4
+        wav = make_wav(tmp / "big.wav", seconds=10 * 30.0 - 5, sr=16000)  # 10 chunks
+        text = tr.run_transcription(str(wav), tm, "fake-model", batch_chunks=2)
+        # 10 chunks: 4, 4 (rem 2 > batch_chunks is False -> tail bucket), 2
+        assert engine.calls == [(4, tr.CHUNK_SAMPLES), (4, tr.CHUNK_SAMPLES),
+                                (2, tr.CHUNK_SAMPLES)]
+        assert len([w for w in text.split() if w.startswith("chunk")]) == 10
+        # remainder >batch_chunks pads into ONE big bucket (321 ms beats
+        # two 8-batches on chip), pad rows dropped
+        engine.calls.clear()
+        engine.texts = None
+        wav2 = make_wav(tmp / "big2.wav", seconds=7 * 30.0 - 5, sr=16000)  # 7 chunks
+        text2 = tr.run_transcription(str(wav2), tm, "fake-model", batch_chunks=2)
+        assert engine.calls == [(4, tr.CHUNK_SAMPLES), (4, tr.CHUNK_SAMPLES)]
+        assert len([w for w in text2.split() if w.startswith("chunk")]) == 7
+
     def test_eta_emitted(self, setup):
         tm, bus, engine, tmp = setup
         engine.delay = 0.05
