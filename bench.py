@@ -722,6 +722,7 @@ WEIGHTS_TAGS = {
     "whisper_tiny_rtf": "random (real shapes via from_ggml; egress-blocked)",
     "onnx_asr_rtf": "random (parakeet-v3 int8 shapes; egress-blocked)",
     "onnx_asr_device_rtf": "random (parakeet-v3 int8 shapes; egress-blocked)",
+    "onnx_asr_device_rtf_b16": "random (parakeet-v3 int8 shapes; egress-blocked)",
     "transcribe_file_x_realtime": "random whisper-tiny (worst-case ladder floor)",
     "transcribe_file_ladder_off_x": "random whisper-tiny (temp-0 only)",
     "concurrent_denoise_asr_rtf": "shipped denoiser + random whisper-tiny",
@@ -746,6 +747,10 @@ def main():
         ("whisper_tiny_rtf", lambda: bench_whisper("tiny")),
         ("onnx_asr_rtf", bench_onnx_asr),
         ("onnx_asr_device_rtf", bench_onnx_asr_device),
+        # the 16-chunk bucket run_transcription schedules for the TDT
+        # engine on files >4 min (OnnxTdtEngine.decode_batch_bucket):
+        # B=16 runs 1.18x the B=8 wall -> -41% RTF
+        ("onnx_asr_device_rtf_b16", lambda: bench_onnx_asr_device(B=16)),
         ("logmel_x_realtime", bench_logmel),
         ("resample_mix_x_realtime", bench_resample_mix),
         ("resample_mix_tpu_x", bench_resample_mix_tpu),

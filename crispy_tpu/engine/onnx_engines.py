@@ -573,6 +573,13 @@ class OnnxTdtEngine:
 
     name = "onnx-tdt"
     MAX_SYMBOLS_PER_FRAME = 10
+    #: run_transcription schedules 16-chunk batches while >8 chunks remain
+    #: (engine/transcription.py): measured on chip at parakeet-v3 dims
+    #: (int8, device chunks), B=16 runs 1.18x the B=8 wall — the
+    #: sequential TDT while_loop dominates and amortizes — cutting RTF
+    #: 0.00114 → 0.00070 (-41%). One padded 16-batch (335 ms) beats two
+    #: 8-batches (~570 ms) for ANY remainder >8. See docs/PERF.md.
+    decode_batch_bucket = 16
 
     def __init__(self, model_dir, model_id: str = "onnx-tdt", mesh=None):
         import jax
